@@ -1,0 +1,193 @@
+"""Shared Flax NN building blocks (channels-last, TPU-native layouts).
+
+Parity target: reference `src/module/asm/basics.py:9-112` (convbn, convbn_3d,
+tconvbn, depthwise_separable_conv, BasicBlock, DomainNorm). Re-designed for
+TPU: NHWC / NDHWC layouts (XLA's native conv layouts on TPU), explicit
+symmetric padding matching torch's `padding=p` semantics, BatchNorm whose
+batch statistics are computed over the *global* batch — under pjit with the
+batch sharded over the `data` mesh axis this is cross-replica SyncBN by
+construction (the reference only gets this with accelerator='ddp',
+config_manager.py:57).
+
+All modules take a `dtype` for bf16 activation compute with fp32 params.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# He-normal with fan_out, matching the reference's weight init
+# normal_(0, sqrt(2/n)) with n = prod(kernel) * out_channels
+# (ref src/model/stereodpnet/mainmodel.py:51-65).
+he_normal_out = jax.nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+Dtype = Any
+
+
+def torch_pad(kernel_size: int, dilation: int = 1) -> int:
+    """The reference's dilation-aware padding: pad = dilation if dilation > 1
+    else (k-1)//2 — for k=3 both equal dilation*(k-1)//2 (ref basics.py:17)."""
+    return dilation * (kernel_size - 1) // 2
+
+
+class ConvBN(nn.Module):
+    """2D conv + BatchNorm, no activation (ref basics.py convbn).
+
+    Input/Output: [B, H, W, C]. Padding follows torch's symmetric
+    `padding=p` convention exactly (flax 'SAME' differs for stride>1).
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    pad: int | None = None
+    dilation: int = 1
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        p = self.pad if self.pad is not None else torch_pad(self.kernel_size, self.dilation)
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(p, p), (p, p)],
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            kernel_init=he_normal_out,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        return x
+
+
+class ConvBN3D(nn.Module):
+    """3D conv + BatchNorm (ref basics.py convbn_3d). Input: [B, D, H, W, C]."""
+
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    strides: int | Sequence[int] = 1
+    pad: int | Sequence[int] | None = None
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ks = (
+            (self.kernel_size,) * 3
+            if isinstance(self.kernel_size, int)
+            else tuple(self.kernel_size)
+        )
+        st = (self.strides,) * 3 if isinstance(self.strides, int) else tuple(self.strides)
+        if self.pad is None:
+            pad = tuple((k - 1) // 2 for k in ks)
+        elif isinstance(self.pad, int):
+            pad = (self.pad,) * 3
+        else:
+            pad = tuple(self.pad)
+        x = nn.Conv(
+            self.features,
+            kernel_size=ks,
+            strides=st,
+            padding=[(p, p) for p in pad],
+            use_bias=self.use_bias,
+            kernel_init=he_normal_out,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        return x
+
+
+class TConvBN3D(nn.Module):
+    """3D transposed conv (stride-2 upsampling) + BatchNorm.
+
+    Matches torch ConvTranspose3d(k=3, padding=1, output_padding=1, stride=2)
+    used in the PSMNet hourglass (ref stereodpnet/modules.py:219-227): output
+    spatial size is exactly 2x input.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torch ConvTranspose output: (i-1)*s - 2p + k + output_padding = 2i.
+        # flax ConvTranspose pads the *output*; with transpose_kernel semantics
+        # the equivalent explicit padding for (k=3, s=2, p=1, op=1) is
+        # low = k - 1 - p = 1, high = k - 1 - p + op = 2.
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(3, 3, 3),
+            strides=(2, 2, 2),
+            padding=[(1, 2), (1, 2), (1, 2)],
+            use_bias=False,
+            kernel_init=he_normal_out,
+            transpose_kernel=True,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+        )(x)
+        return x
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (ref basics.py depthwise_separable_conv)."""
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        p = (self.kernel_size - 1) // 2
+        x = nn.Conv(
+            in_ch,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.strides, self.strides),
+            padding=[(p, p), (p, p)],
+            feature_group_count=in_ch,
+            kernel_init=he_normal_out,
+            dtype=self.dtype,
+        )(x)
+        x = nn.Conv(
+            self.features, kernel_size=(1, 1), kernel_init=he_normal_out, dtype=self.dtype
+        )(x)
+        return x
+
+
+class PReLU(nn.Module):
+    """Single-parameter PReLU with configurable init (torch PReLU(init=w))."""
+
+    init: float = 0.05
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", lambda key: jnp.asarray(self.init, jnp.float32))
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm over all spatial dims, per channel, with affine params
+    (torch InstanceNorm3d(affine=True), ref asm.py:138). Channels-last."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        return nn.GroupNorm(
+            num_groups=c, epsilon=self.epsilon, use_bias=True, use_scale=True, dtype=self.dtype
+        )(x)

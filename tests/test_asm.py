@@ -1,0 +1,91 @@
+"""ASM sub-pixel shift vs torch grid_sample / FFT oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from dualpixelface_tpu.ops import asm  # noqa: E402
+
+
+def torch_bilinear_shift(x_nchw: np.ndarray, delta: float) -> np.ndarray:
+    """The reference's bilinear branch: grid of y+delta sampled with
+    align_corners=True, zero padding (ref asm.py:35-47,98-102)."""
+    t = torch.from_numpy(x_nchw)
+    b, c, h, w = t.shape
+    ys = (torch.arange(h, dtype=torch.float64) + delta) / (h - 1) * 2 - 1
+    xs = torch.arange(w, dtype=torch.float64) / (w - 1) * 2 - 1
+    yv, xv = torch.meshgrid(ys, xs, indexing="ij")
+    grid = torch.stack([xv, yv], -1)[None].expand(b, -1, -1, -1).float()
+    return F.grid_sample(t, grid, mode="bilinear", align_corners=True).numpy()
+
+
+@pytest.mark.parametrize("delta", [0.0, 1.0, -2.0, 0.5, -1.25, 3.75])
+def test_bilinear_shift_matches_grid_sample(delta):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 12, 9, 4)).astype(np.float32)
+    out = np.asarray(asm.shift_h_bilinear(jnp.asarray(x), delta))
+    ref = torch_bilinear_shift(np.moveaxis(x, -1, 1), delta)
+    np.testing.assert_allclose(out, np.moveaxis(ref, 1, -1), rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_shift_integer():
+    x = np.arange(5 * 3, dtype=np.float32).reshape(1, 5, 3, 1)
+    out = np.asarray(asm.shift_h_nearest(jnp.asarray(x), 2.0))
+    np.testing.assert_array_equal(out[0, :3, :, 0], x[0, 2:, :, 0])
+    np.testing.assert_array_equal(out[0, 3:, :, 0], 0.0)
+    out = np.asarray(asm.shift_h_nearest(jnp.asarray(x), -1.0))
+    np.testing.assert_array_equal(out[0, 1:, :, 0], x[0, :4, :, 0])
+    np.testing.assert_array_equal(out[0, 0, :, 0], 0.0)
+
+
+def test_phase_shift_integer_is_circular_roll():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 8, 6, 2)).astype(np.float32)
+    out = np.asarray(asm.phase_shift_multi(jnp.asarray(x), [2.0]))[:, 0]
+    np.testing.assert_allclose(out, np.roll(x, -2, axis=1), rtol=1e-4, atol=1e-5)
+
+
+def test_phase_shift_matches_reference_fft_math():
+    """Oracle: the reference's full-2D rfft/cos-sin/irfft chain (asm.py:104-125)."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 8, 6, 3)).astype(np.float32)
+    delta = 1.7
+    h, w = x.shape[1], x.shape[2]
+    Nr = np.concatenate([np.arange(np.ceil(h // 2)), np.arange(-np.fix(h // 2), 0)])
+    Nc = np.concatenate([np.arange(np.ceil(w // 2)), np.arange(-np.fix(w // 2), 0)])
+    NR, NC = np.meshgrid(Nr, Nc, indexing="ij")
+    theta = 2 * np.pi * (delta / h * NR + 0.0 * NC)
+    fx = np.fft.fft2(np.moveaxis(x, -1, 1), axes=(-2, -1))
+    shifted = np.fft.ifft2(fx * np.exp(1j * theta), axes=(-2, -1)).real
+    ref = np.moveaxis(shifted, 1, -1).astype(np.float32)
+
+    out = np.asarray(asm.phase_shift_multi(jnp.asarray(x), [delta]))[:, 0]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_subpixel_shift_planes_shapes_and_direction():
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, 16, 8, 4)).astype(np.float32)
+    disps = [-1.0, -0.5, 0.0, 0.5, 1.0, 1.5, 2.0, 2.5]
+    fwd = asm.subpixel_shift_planes(jnp.asarray(x), disps, "forward")
+    assert fwd.shape == (2, 8, 3, 16, 8, 4)
+    bwd = asm.subpixel_shift_planes(jnp.asarray(x), disps, "backward")
+    # backward with disp d == forward with -d
+    fwd_neg = asm.subpixel_shift_planes(jnp.asarray(x), [-d for d in disps], "forward")
+    np.testing.assert_allclose(np.asarray(bwd), np.asarray(fwd_neg), rtol=1e-4, atol=1e-5)
+
+
+def test_masking_attention_shapes():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((2, 8, 3, 8, 8, 16)), jnp.float32)
+    mod = asm.MaskingAttention(features=16, act="sigmoid")
+    variables = mod.init(rng, x, train=False)
+    out = mod.apply(variables, x, train=False)
+    assert out.shape == (2, 8, 8, 8, 16)
+    # train mode mutates batch stats
+    out, mutated = mod.apply(variables, x, train=True, mutable=["batch_stats"])
+    assert out.shape == (2, 8, 8, 8, 16)
+    assert "batch_stats" in mutated
