@@ -1,0 +1,6 @@
+from dualpixelface_tpu.parallel.mesh import (
+    batch_sharding,
+    get_mesh,
+    replicated_sharding,
+    shard_batch,
+)

@@ -1,0 +1,35 @@
+"""Train state: params + BatchNorm statistics + optimizer state.
+
+TPU-native replacement for the LightningModule's implicit state (ref
+main.py:43-62): one pytree, replicated over the mesh, updated by a single
+pjit'd step.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+def create_train_state(model, option, sample_batch: dict, steps_per_epoch: int, rng=None) -> TrainState:
+    from dualpixelface_tpu.train.optim import optimizer_selector
+
+    rng = rng if rng is not None else jax.random.PRNGKey(1)  # seed_everything(1) parity
+    variables = model.init(rng, sample_batch, train=False)
+    tx = optimizer_selector(option, steps_per_epoch)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def param_count(state: TrainState) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(state.params))

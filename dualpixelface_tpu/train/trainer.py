@@ -1,0 +1,130 @@
+"""Trainer: config -> data -> model -> pjit steps -> checkpoints/metrics.
+
+TPU-native runner replacing PyTorch-Lightning's Trainer (ref main.py:43-62):
+  * builds the ('data','model') mesh over all devices (DP over ICI),
+  * shards each host batch over the data axis (one fused H2D),
+  * drives the pjit'd train/eval steps,
+  * Orbax-checkpoints every epoch (keep-all) and logs losses as JSONL +
+    stdout instead of TensorBoard,
+  * runs the metric bank per test batch and prints the benchmark tables at
+    epoch end (ref mainmodel.py test_step/test_epoch_end).
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from dualpixelface_tpu.data.loader_selector import loader_selector
+from dualpixelface_tpu.data.pipeline import DataPipeline, numeric_batch
+from dualpixelface_tpu.losses import loss_selector
+from dualpixelface_tpu.metrics import metric_selector
+from dualpixelface_tpu.models import model_selector
+from dualpixelface_tpu.models.base import apply_group_swap
+from dualpixelface_tpu.parallel import get_mesh, shard_batch
+from dualpixelface_tpu.train.checkpoint import restore_checkpoint, save_checkpoint
+from dualpixelface_tpu.train.state import create_train_state, param_count
+from dualpixelface_tpu.train.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(self, option, mesh=None):
+        self.opt = option
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.model = model_selector(option)
+        self.loss_bank = loss_selector(option)
+        self.metric_bank = metric_selector(option)
+        self.train_step = make_train_step(self.model, self.loss_bank)
+        self.eval_step = make_eval_step(self.model)
+        self.state = None
+        self._log_file = None
+        if getattr(option, "output_path", None):
+            self._log_file = Path(option.output_path) / "metrics.jsonl"
+
+    # ---------- setup ----------
+
+    def _pipeline(self, training: bool) -> DataPipeline:
+        dataset = loader_selector(self.opt, training)
+        return DataPipeline(
+            dataset,
+            batch_size=self.opt.batch_size,
+            shuffle=training,
+            seed=1,  # seed_everything(1) parity (ref main.py:25)
+            num_workers=self.opt.workers,
+            drop_last=training,
+        )
+
+    def init_state(self, sample_batch: dict, steps_per_epoch: int):
+        self.state = create_train_state(
+            self.model, self.opt, sample_batch, steps_per_epoch
+        )
+        if self.opt.get("load_model"):
+            strict = bool(getattr(self.opt, "load_strict", True))
+            self.state = restore_checkpoint(self.opt.load_model, self.state, strict)
+        return self.state
+
+    def _log(self, record: dict):
+        record = {k: (float(v) if hasattr(v, "item") or isinstance(v, (int, float)) else v)
+                  for k, v in record.items()}
+        print(json.dumps(record), flush=True)
+        if self._log_file is not None:
+            with open(self._log_file, "a") as f:
+                f.write(json.dumps(record) + "\n")
+
+    # ---------- loops ----------
+
+    def fit(self, epochs: int | None = None):
+        epochs = epochs if epochs is not None else self.opt.epoch
+        pipe = self._pipeline(training=True)
+        steps_per_epoch = len(pipe)
+        first = True
+        with self.mesh:
+            for epoch in range(epochs):
+                pipe.set_epoch(epoch)
+                t0 = time.time()
+                n = 0
+                running: dict = {}
+                for batch in pipe:
+                    batch = numeric_batch(batch)
+                    batch.pop("_valid", None)
+                    device_batch = shard_batch(batch, self.mesh)
+                    if first:
+                        self.init_state(device_batch, steps_per_epoch)
+                        first = False
+                    self.state, losses = self.train_step(self.state, device_batch)
+                    n += 1
+                    for k, v in losses.items():
+                        running[k] = running.get(k, 0.0) + float(v)
+                record = {k: v / max(n, 1) for k, v in running.items()}
+                record.update(
+                    epoch=epoch, steps=n, sec=round(time.time() - t0, 2), mode="train"
+                )
+                self._log(record)
+                if getattr(self.opt, "ckpt_path", None):
+                    save_checkpoint(self.opt.ckpt_path, self.state, epoch)
+        return self.state
+
+    def test(self):
+        pipe = self._pipeline(training=False)
+        assert self.state is not None, "call init_state / fit before test"
+        self.metric_bank.clear()
+        with self.mesh:
+            for batch in pipe:
+                batch = apply_group_swap(batch, training=False)
+                valid = batch.pop("_valid")
+                device_batch = shard_batch(numeric_batch(batch), self.mesh)
+                results = self.eval_step(self.state, device_batch)
+                host_results = jax.tree_util.tree_map(np.asarray, results)
+                host_batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+                nvalid = int(valid.sum())
+                host_results = jax.tree_util.tree_map(lambda x: x[:nvalid], host_results)
+                host_batch = {k: v[:nvalid] for k, v in host_batch.items()}
+                if "depth" in host_batch:
+                    self.metric_bank(host_results, host_batch)
+        self.metric_bank.viewer()
+        agg = self.metric_bank.aggregate()
+        self._log({"mode": "test", **{f"{m}/{k}": v for m, d in agg.items() for k, v in d.items()}})
+        return agg
