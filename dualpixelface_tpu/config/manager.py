@@ -88,12 +88,14 @@ class Configuration:
         self.config_path = config_path
 
         self.data["load_model"] = str(Path(load_model).absolute()) if load_model else None
-        self._initialize(make_workspace)
+        self._initialize(make_workspace, overrides)
+
+    def _initialize(self, make_workspace: bool, overrides: dict | None = None):
+        self.data.update(_load_json(self.config_path))
+        # overrides land before the dependent model/dataset/aug layers resolve,
+        # so overriding model_name etc. picks up the right sub-configs
         if overrides:
             self.data.update(overrides)
-
-    def _initialize(self, make_workspace: bool):
-        self.data.update(_load_json(self.config_path))
 
         # TPU-native: sync batchnorm is implicit in the global-view pjit
         # formulation; keep the flag for config parity (ref config_manager.py:57).

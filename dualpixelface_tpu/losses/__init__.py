@@ -39,6 +39,10 @@ class LossBank:
         names = list(option.model.loss_type)
         lambdas = list(option.model.lambdas)
         assert len(names) == len(lambdas), "loss_type and lambdas length mismatch"
+        # BTS trains/evaluates on metric depth; the reference hardcodes
+        # target_type='depth' in its steps (bts/mainmodel.py:52-54,106-108) —
+        # here it's a model-config field
+        self.target_type = option.model.get("target_type", "disp")
         self.entries = []
         for name, lam in zip(names, lambdas):
             if name not in _LOSS_REGISTRY:
@@ -49,7 +53,7 @@ class LossBank:
         out: dict = {}
         total = 0.0
         for name, lam, loss in self.entries:
-            res = loss(results, batch)
+            res = loss(results, batch, target_type=self.target_type)
             total = total + lam * res["loss"]
             out[f"{name}_loss"] = res["loss"]
             if "abvalue" in res:

@@ -28,6 +28,7 @@ def available_metrics() -> list[str]:
 class MetricBank:
     def __init__(self, option):
         names = list(option.model.metric_type)
+        self.target_type = option.model.get("target_type", "disp")
         self.benchmarks = []
         for name in names:
             if name not in _METRIC_REGISTRY:
@@ -40,7 +41,9 @@ class MetricBank:
         out = {}
         for bench in self.benchmarks:
             try:
-                out[bench.registry_name] = bench.measure(results, batch)
+                out[bench.registry_name] = bench.measure(
+                    results, batch, target_type=self.target_type
+                )
             except KeyError:
                 # metric inputs absent from this batch/prediction (e.g. no
                 # pred_normal for a depth-only model) — skip, like the

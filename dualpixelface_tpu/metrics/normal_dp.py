@@ -39,7 +39,7 @@ def cal_normal_acc(gt_n: np.ndarray, pred_n: np.ndarray, mask: np.ndarray):
 class NormalDPBenchmark(Benchmark):
     keys = ("mean_angle_deg", "rmse_angle_deg")
 
-    def measure(self, results: dict, batch: dict, log: bool = True):
+    def measure(self, results: dict, batch: dict, log: bool = True, target_type: str = "disp"):
         pred = results["pred_normal"]
         if pred is None:
             raise KeyError("pred_normal")

@@ -1,0 +1,67 @@
+"""StereoDPNet — the paper's flagship model (ECCV'22).
+
+Parity target: ref `src/model/stereodpnet/mainmodel.py:21-176`:
+DPBlock-FPN feature extraction at 1/4 res -> ASM sub-pixel shifted concat
+cost volume over `level` disparity planes -> PSMNet 3-hourglass 3-D
+aggregation with 3 classifiers + trilinear x4 upsample -> soft-argmin over
+4*level bins -> ANM normal branch on the pre-classifier volume.
+
+Outputs: pred_depth [B, n, H, W], prob_depth [B, n, 4*level, H, W],
+pred_normal [B, 1, H, W, 3] (channels-last), ref_feature [B, H/4, W/4].
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dualpixelface_tpu.models import register_model
+from dualpixelface_tpu.models.base import select_ref_target
+from dualpixelface_tpu.models.stereodpnet.modules import ASMCostVolume, FeatureExtraction
+from dualpixelface_tpu.models.stereodpnet.normal_module import ANM
+from dualpixelface_tpu.ops.aggregation import PSMNetHGAggregation
+from dualpixelface_tpu.ops.cost_volume import regression_disparities, soft_argmin
+
+
+@register_model("stereodpnet")
+class STEREODPNET(nn.Module):
+    option: object
+
+    @nn.compact
+    def __call__(self, batch: dict, train: bool = False) -> dict:
+        opt = self.option.model
+        mindisp, maxdisp, level = opt.mindisp, opt.maxdisp, opt.level
+        disparities = regression_disparities(mindisp, maxdisp, level, 4)
+
+        feature_extraction = FeatureExtraction(self.option, name="feature_extraction")
+        ref_img, tar_img = select_ref_target(batch, self.option)
+        ref_fea = feature_extraction(ref_img, train)  # [B, H/4, W/4, C]
+        tar_fea = feature_extraction(tar_img, train)
+
+        cost = ASMCostVolume(self.option, mindisp, maxdisp, name="cost_volume")(
+            ref_fea, tar_fea, train
+        )  # [B, D, H/4, W/4, 2C]
+
+        cost_logits, cost_feats = PSMNetHGAggregation(opt.inplanes, name="aggregation")(
+            cost, train
+        )  # n x [B, 4D, H, W], n x [B, D, H/4, W/4, C]
+
+        disp_out, prob_out = [], []
+        for logits in cost_logits:
+            d, p = soft_argmin(logits, disparities)
+            disp_out.append(d)
+            prob_out.append(p)
+
+        normal = None
+        if opt.predict_normal:
+            normals, _off1, _off2 = ANM(self.option, mindisp, maxdisp, name="normal_estimator")(
+                [cost_feats[0]], [disp_out[0]], batch, train
+            )
+            normal = jnp.stack(normals, axis=1)  # [B, 1, H, W, 3]
+
+        results = {
+            "pred_depth": jnp.stack(disp_out, axis=1),
+            "prob_depth": jnp.stack(prob_out, axis=1),
+            "pred_normal": normal,
+            "ref_feature": jnp.max(ref_fea, axis=-1),
+        }
+        return results

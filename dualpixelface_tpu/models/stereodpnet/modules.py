@@ -1,0 +1,149 @@
+"""StereoDPNet building blocks: DPBlock FPN feature extractor + ASM cost volume.
+
+Parity target: ref `src/model/stereodpnet/modules.py:21-200` —
+  * DPBlock: dual conv + 3-way dilated (1/3/5) parallel convs + PReLU skips +
+    strided dilated conv4 + depthwise-separable conv5 + 1x1 strided skip
+  * feature_extraction: stride-2 stem, 3 DPBlock stages (1/4, 1/8, 1/16), a
+    torchvision-style FPN fused back to 1/4, concat of all 3 scales, lastconv
+  * CostVolume: per-plane ASM (3-mode sub-pixel shift + shared
+    MaskingAttention in both directions), concat [ref | tar]
+
+TPU-first: channels-last; the D-plane loop is fully vectorized
+(ops.asm.subpixel_shift_planes computes all planes/modes at once and
+MaskingAttention folds D into the batch — vs the reference's python loop with
+per-plane FFTs, modules.py:185-194).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dualpixelface_tpu.ops.asm import MaskingAttention, subpixel_shift_planes
+from dualpixelface_tpu.ops.blocks import ConvBN, DepthwiseSeparableConv, PReLU, he_normal_out
+from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
+from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
+
+
+class DPBlock(nn.Module):
+    """(ref modules.py:21-52)"""
+
+    features: int
+    ratio_s: int
+    ratio_t: int
+    reluw: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features
+        out1 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, name="conv1")(x, train))
+        out2 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, name="conv2")(out1, train))
+        out2 = jnp.concatenate(
+            [
+                ConvBN(c, 3, 1, dilation=2 * i + 1, name=f"conv_dilate{i}")(out2, train)
+                for i in range(3)
+            ],
+            axis=-1,
+        )
+        out2 = ConvBN(c, 3, 1, 1, 1, name="conv3")(out2, train)
+        out = PReLU(self.reluw)(out2 + out1)
+
+        out = PReLU(self.reluw)(
+            ConvBN(self.ratio_t * c, 3, self.ratio_s, dilation=2, name="conv4")(out, train)
+        )
+        out = DepthwiseSeparableConv(self.ratio_t * c, 3, 1, name="conv5")(out, train)
+
+        skip = nn.Conv(
+            self.ratio_t * c, (1, 1), strides=(self.ratio_s, self.ratio_s),
+            kernel_init=he_normal_out, name="conv_skip",
+        )(x)
+        return out + skip
+
+
+class FPN(nn.Module):
+    """Feature pyramid fusion (torchvision FeaturePyramidNetwork semantics:
+    1x1 laterals, nearest top-down adds, 3x3 output convs; ref modules.py:83-85)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, levels):
+        laterals = [
+            nn.Conv(self.features, (1, 1), kernel_init=he_normal_out, name=f"lateral{i}")(x)
+            for i, x in enumerate(levels)
+        ]
+        fused = [None] * len(laterals)
+        fused[-1] = laterals[-1]
+        for i in range(len(laterals) - 2, -1, -1):
+            up = resize_nearest(
+                fused[i + 1], (laterals[i].shape[1], laterals[i].shape[2]), (1, 2)
+            )
+            fused[i] = laterals[i] + up
+        return [
+            nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    kernel_init=he_normal_out, name=f"output{i}")(x)
+            for i, x in enumerate(fused)
+        ]
+
+
+class FeatureExtraction(nn.Module):
+    """(ref modules.py:56-134) -> [B, H/4, W/4, C]"""
+
+    option: object
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        opt = self.option.model
+        c = opt.inplanes
+        stack = opt.block_stack
+
+        # stem: half resolution
+        y = nn.relu(ConvBN(c, 3, 2, 1, 1, name="firstconv0")(x, train))
+        y = nn.relu(ConvBN(c, 3, 1, 1, 1, name="firstconv1")(y, train))
+        initial = nn.relu(ConvBN(c, 3, 1, 1, 1, name="firstconv2")(y, train))
+
+        out1 = DPBlock(c, 2, 1, name="block1")(initial, train)  # 1/4, C
+        out2 = out1
+        for i in range(stack):
+            out2 = DPBlock(c, 1, 1, name=f"interblock1_{i}")(out2, train)
+        out2 = DPBlock(c, 2, 2, name="block2")(out2, train)  # 1/8, 2C
+        out3 = out2
+        for i in range(stack):
+            out3 = DPBlock(2 * c, 1, 1, name=f"interblock2_{i}")(out3, train)
+        out3 = DPBlock(2 * c, 2, 2, name="block3")(out3, train)  # 1/16, 4C
+
+        high, mid, low = FPN(c, name="fpn")([out1, out2, out3])
+
+        stage0 = high
+        stage1 = upsample2d_bilinear(mid, 2)
+        stage2 = upsample2d_bilinear(low, 4)
+        feat = jnp.concatenate([stage0, stage1, stage2], axis=-1)
+
+        feat = nn.relu(ConvBN(2 * c, 3, 1, 1, 1, name="lastconv0")(feat, train))
+        feat = nn.relu(ConvBN(c, 3, 1, 1, 1, name="lastconv1")(feat, train))
+        return feat
+
+
+class ASMCostVolume(nn.Module):
+    """Sub-pixel shifted concat cost volume with shared masking attention
+    (ref modules.py:137-200). [B,H,W,C] x2 -> [B, D, H, W, 2C]."""
+
+    option: object
+    mindisp: float
+    maxdisp: float
+
+    @nn.compact
+    def __call__(self, ref_feat, tar_feat, train: bool = False):
+        opt = self.option.model
+        disps = tuple(make_costrange(self.mindisp, self.maxdisp, opt.level).tolist())
+        modes = dict(nearest=opt.nearest, bilinear=opt.bilinear, phase=opt.phase)
+
+        fwd = subpixel_shift_planes(ref_feat, disps, "forward", **modes)
+        bwd = subpixel_shift_planes(tar_feat, disps, "backward", **modes)
+
+        attention = MaskingAttention(
+            features=opt.inplanes, act=opt.asm_activation,
+            feature_fetch=opt.feature_fetch, name="attention",
+        )
+        vol_ref = attention(fwd, train)  # [B, D, H, W, C]
+        vol_tar = attention(bwd, train)
+        return jnp.concatenate([vol_ref, vol_tar], axis=-1)

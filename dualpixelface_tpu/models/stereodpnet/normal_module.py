@@ -1,0 +1,146 @@
+"""ANM — Adaptive Normal Module (ref src/model/stereodpnet/normal_module.py:32-194).
+
+From the aggregated cost volume and the regressed disparity:
+  1. sample_with_sort: top-k disparity-plane slices nearest the predicted
+     disparity (topk of 1/|costrange - disp|, indices sorted ascending)
+  2. grid_maker_3d: normalized 3-D world-coordinate volume
+     K^-1 [u,v,1] * disp2depth(disp_range) at quarter-scale intrinsics
+  3. two deformable 3-D convs over the [cost | coords] volume (D3D module,
+     use_deform) or a plain ConvBN3D pair (fallback, normal_module.py:52-56)
+  4. a shared dilated 2-D conv stack applied per depth-slice, mean over
+     slices, sigmoid + x4 bilinear upsample, mapped to [-1, 1]
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dualpixelface_tpu.ops import geometry
+from dualpixelface_tpu.ops.blocks import ConvBN3D, he_normal_out
+from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
+from dualpixelface_tpu.ops.deform_conv3d import DeformConvPack3D
+from dualpixelface_tpu.ops.resize import downsample2d_nearest, upsample2d_bilinear
+
+
+def sample_with_sort(cost: jnp.ndarray, disp: jnp.ndarray, costrange: np.ndarray, k: int):
+    """Top-k disparity planes nearest `disp`, sorted (ref normal_module.py:120-138).
+
+    :param cost: [B, D, H, W, C]
+    :param disp: [B, H, W] quarter-scale disparity
+    :return: (cost [B, K, H, W, C], disp_range [B, K, H, W])
+    """
+    cr = jnp.asarray(costrange, jnp.float32)  # [D]
+    diff = jnp.abs(cr[None, :, None, None] - disp[:, None])  # [B, D, H, W]
+    scores = 1.0 / (diff + 1e-6)
+    _, idx = jax.lax.top_k(jnp.moveaxis(scores, 1, -1), k)  # [B, H, W, K]
+    idx = jnp.sort(idx, axis=-1)
+
+    cost_l = jnp.moveaxis(cost, 1, 3)  # [B, H, W, D, C]
+    gathered = jnp.take_along_axis(cost_l, idx[..., None], axis=3)  # [B, H, W, K, C]
+    squeezed_cost = jnp.moveaxis(gathered, 3, 1)  # [B, K, H, W, C]
+    squeezed_disp = jnp.moveaxis(cr[idx], -1, 1)  # [B, K, H, W]
+    return squeezed_cost, squeezed_disp
+
+
+def grid_maker_3d(K: jnp.ndarray, disp_range: jnp.ndarray, ab_value: jnp.ndarray):
+    """Normalized world-coordinate volume (ref normal_module.py:80-118).
+
+    :param K: [B, 3, 3] full-res intrinsics
+    :param disp_range: [B, D, H, W] quarter-scale disparities
+    :param ab_value: [B, 2] ([b, a])
+    :return: [B, D, H, W, 3]
+    """
+    b, d, h, w = disp_range.shape
+    K = K.astype(jnp.float32)
+    K_q = K.at[:, :2, :].set(K[:, :2, :] / 4.0)
+
+    xg, yg = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32), jnp.arange(h, dtype=jnp.float32))
+    grid = jnp.stack([xg, yg, jnp.ones_like(xg)], 0).reshape(3, h * w)  # [3, HW]
+    warp = jnp.einsum("bij,jn->bin", jnp.linalg.inv(K_q), grid).reshape(b, 3, h, w)
+
+    depth = geometry.disp2depth(disp_range.astype(jnp.float32), ab_value)  # [B, D, H, W]
+    vol = warp[:, :, None] * depth[:, None]  # [B, 3, D, H, W]
+
+    vmin = jnp.min(vol.reshape(b, -1), -1).reshape(b, 1, 1, 1, 1)
+    vmax = jnp.max(vol.reshape(b, -1), -1).reshape(b, 1, 1, 1, 1)
+    vol = (vol - vmin) / (vmax - vmin + 1e-6)
+    return jnp.moveaxis(vol, 1, -1)  # [B, D, H, W, 3]
+
+
+class ANM(nn.Module):
+    option: object
+    mindisp: float
+    maxdisp: float
+
+    @nn.compact
+    def __call__(self, costs, disp_maps, batch, train: bool = False):
+        """costs: list of [B, D, H/4, W/4, C]; disp_maps: list of [B, H, W].
+        Returns (normals [each B, H, W, 3], offset1s, offset2s)."""
+        opt = self.option.model
+        c = opt.inplanes
+        cr = make_costrange(self.mindisp, self.maxdisp, opt.level)
+        ab_value = batch.get("abvalue")
+
+        # submodules created ONCE and shared across the costs loop, exactly as
+        # the reference shares self.deform_conv*/n_convs (normal_module.py:44-66)
+        if opt.use_deform:
+            deform1 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2, name="deform_conv1")
+            deform2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2, name="deform_conv2")
+            act1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act1")
+            act2 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act2")
+        else:
+            orig0 = ConvBN3D(2 * c, 3, 1, 1, name="orig_conv0")
+            orig1 = ConvBN3D(2 * c, 3, 1, 1, name="orig_conv1")
+        plan = [(3 * c, 1), (3 * c, 2), (2 * c, 4), (2 * c, 8), (c, 1), (3, 1)]
+        n_convs = [
+            nn.Conv(
+                ch, (3, 3), padding=[(dil, dil), (dil, dil)], kernel_dilation=(dil, dil),
+                use_bias=False, kernel_init=he_normal_out, name=f"n_convs{li}",
+            )
+            for li, (ch, dil) in enumerate(plan)
+        ]
+
+        normals, offset1s, offset2s = [], [], []
+        for idx, cost in enumerate(costs):
+            b = cost.shape[0]
+            # quarter-scale disparity (ref normal_module.py:156)
+            disp = downsample2d_nearest(disp_maps[idx][..., None], 4)[..., 0] * 0.25
+
+            if opt.use_sampling:
+                cost_s, disp_range = sample_with_sort(cost, disp, cr, opt.dsample_num)
+            else:
+                cost_s = cost
+                disp_range = jnp.broadcast_to(
+                    jnp.asarray(cr, jnp.float32)[None, :, None, None],
+                    (b, len(cr)) + cost.shape[2:4],
+                )
+
+            coordV = grid_maker_3d(batch["K"], disp_range, ab_value)
+            feature_volume = jnp.concatenate([cost_s, coordV], axis=-1)  # [B,K,H,W,C+3]
+
+            if opt.use_deform:
+                fv1, offset1 = deform1(feature_volume)
+                fv1 = nn.relu(act1(fv1))
+                fv2, offset2 = deform2(fv1)
+                fv2 = nn.relu(act2(fv2))
+            else:
+                fv2 = nn.relu(orig0(feature_volume, train))
+                fv2 = nn.relu(orig1(fv2, train))
+                offset1 = offset2 = None
+
+            # shared 2-D dilated stack per depth slice (ref normal_module.py:58-66)
+            bk, d_s, hh, ww, cc = fv2.shape
+            feats = fv2.reshape(b * d_s, hh, ww, cc)
+            for conv in n_convs:
+                feats = nn.leaky_relu(conv(feats), 0.1)
+
+            # final: x4 bilinear upsample then sigmoid (ref normal_module.py:69-72)
+            feats = nn.sigmoid(upsample2d_bilinear(feats, 4))
+            feats = feats.reshape(b, d_s, feats.shape[1], feats.shape[2], 3).mean(axis=1)
+            normals.append(feats * 2.0 - 1.0)
+            offset1s.append(offset1)
+            offset2s.append(offset2)
+
+        return normals, offset1s, offset2s

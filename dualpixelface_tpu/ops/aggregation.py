@@ -1,0 +1,78 @@
+"""PSMNet hourglass 3-D cost aggregation (shared by PSMNet & StereoDPNet).
+
+Parity target: ref `src/model/stereodpnet/modules.py:203-337` (identical copy
+in psmnet/modules.py): dres0/dres1 pre-filters, three stacked hourglasses
+with pre/post skip wiring, three classifier heads with cascaded additions,
+trilinear x4 upsampling of the cost logits (align_corners=True).
+
+This is the FLOPs-dominant stage (SURVEY.md §3.5 #1); channels-last NDHWC
+3-D convs map straight onto the TPU MXU and XLA fuses the BN+ReLU chains.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dualpixelface_tpu.ops.blocks import ConvBN3D, TConvBN3D, he_normal_out
+from dualpixelface_tpu.ops.resize import upsample3d_trilinear
+
+
+class PSMNetHourglass(nn.Module):
+    """Encoder-decoder over (D, H, W) with skip fusion (ref modules.py:204-260)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, presqu, postsqu, train: bool = False):
+        c = self.features
+        out = nn.relu(ConvBN3D(c * 2, 3, 2, 1, name="conv1")(x, train))  # 1/2
+        pre = ConvBN3D(c * 2, 3, 1, 1, name="conv2")(out, train)
+        pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
+
+        out = nn.relu(ConvBN3D(c * 2, 3, 2, 1, name="conv3")(pre, train))  # 1/4
+        out = nn.relu(ConvBN3D(c * 2, 3, 1, 1, name="conv4")(out, train))
+
+        up1 = TConvBN3D(c * 2, name="conv5")(out, train)  # back to 1/2
+        post = nn.relu(up1 + presqu) if presqu is not None else nn.relu(up1 + pre)
+
+        out = TConvBN3D(c, name="conv6")(post, train)  # back to 1/1
+        return out, pre, post
+
+
+class PSMNetHGAggregation(nn.Module):
+    """22 3-D convs: pre-filters + 3 hourglasses + 3 classifiers
+    (ref modules.py:264-337). Input [B, D, H, W, 2C]; returns
+    (cost logits list [B, 4D, 4H, 4W] — 3 scales in train, 1 in eval —
+    and the pre-classifier feature volumes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cost, train: bool = False):
+        c = self.features
+        cost0 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres0_0")(cost, train))
+        cost0 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres0_1")(cost0, train))
+        dres1 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres1_0")(cost0, train))
+        dres1 = ConvBN3D(c, 3, 1, 1, name="dres1_1")(dres1, train)
+        cost0 = dres1 + cost0
+
+        out1, pre1, post1 = PSMNetHourglass(c, name="dres2")(cost0, None, None, train)
+        out1 = out1 + cost0
+        out2, pre2, post2 = PSMNetHourglass(c, name="dres3")(out1, pre1, post1, train)
+        out2 = out2 + cost0
+        out3, pre3, post3 = PSMNetHourglass(c, name="dres4")(out2, pre1, post2, train)
+        out3 = out3 + cost0
+
+        def classify(x, name):
+            y = nn.relu(ConvBN3D(c, 3, 1, 1, name=f"{name}_0")(x, train))
+            return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
+                           kernel_init=he_normal_out, name=f"{name}_1")(y)
+
+        cost1 = classify(out1, "classif1")
+        cost2 = classify(out2, "classif2") + cost1
+        cost3 = classify(out3, "classif3") + cost2
+
+        up = lambda cc: upsample3d_trilinear(cc, 4)[..., 0]  # [B, 4D, 4H, 4W]
+        if train:
+            return [up(cost3), up(cost2), up(cost1)], [out3, out2, out1]
+        return [up(cost3)], [out3]

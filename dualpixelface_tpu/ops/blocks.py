@@ -140,29 +140,41 @@ class TConvBN3D(nn.Module):
 
 
 class DepthwiseSeparableConv(nn.Module):
-    """Depthwise 3x3 + pointwise 1x1 (ref basics.py depthwise_separable_conv)."""
+    """Depthwise kxk + pointwise 1x1 (+BN +PReLU by default), matching
+    ref basics.py depthwise_separable_conv(bn=True, relu=True, reluw=0.05)."""
 
     features: int
     kernel_size: int = 3
-    strides: int = 1
+    padding: int = 1
+    use_bias: bool = False
+    bn: bool = True
+    relu: bool = True
+    reluw: float = 0.05
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
-        p = (self.kernel_size - 1) // 2
+        p = self.padding
         x = nn.Conv(
             in_ch,
             kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
             padding=[(p, p), (p, p)],
             feature_group_count=in_ch,
+            use_bias=self.use_bias,
             kernel_init=he_normal_out,
             dtype=self.dtype,
         )(x)
         x = nn.Conv(
-            self.features, kernel_size=(1, 1), kernel_init=he_normal_out, dtype=self.dtype
+            self.features, kernel_size=(1, 1), use_bias=self.use_bias,
+            kernel_init=he_normal_out, dtype=self.dtype,
         )(x)
+        if self.bn:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+            )(x)
+        if self.relu:
+            x = PReLU(init=self.reluw)(x)
         return x
 
 

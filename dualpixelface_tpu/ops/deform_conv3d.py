@@ -1,0 +1,187 @@
+"""3-D deformable convolution (the reference's "D3D" native CUDA extension).
+
+Parity target: `src/module/dcn3d/` — forward is a trilinear-sampled im2col
+(deform_im2col_cuda.cuh:27-72,193-265) followed by a grouped GEMM with bias
+(deform_conv_cuda.cu:93-125); the Python wrapper `DeformConvPack_dv2`
+(modules/deform_conv.py:295-389) predicts per-tap (dT,dH,dW) offsets with a
+zero-initialised Conv3d and returns (output, offset). Sampling semantics are
+deformable-conv v1: sample = out_pos*stride - pad + tap*dilation + offset,
+trilinear interpolation, each corner contributing only while inside bounds.
+
+TPU-native formulation: channels-last gather-im2col + ONE large matmul.
+The eight trilinear corners are accumulated sequentially (bounded peak
+memory); the [B, N, K*Cin] column matrix contracts against the
+[K*Cin, Cout] weight on the MXU — this is where all the FLOPs live, exactly
+the shape XLA tiles best. Gradients (input/offset/weight — the reference's
+three backward CUDA kernels, deform_conv_cuda.cu:221-280) come from JAX AD of
+the gather formulation: the scatter-add transpose of a gather IS col2im.
+
+A fused Pallas kernel can swap in behind `deform_conv3d` without touching
+callers (kernels/ milestone).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _triple(v) -> tuple[int, int, int]:
+    return (v, v, v) if isinstance(v, int) else tuple(v)
+
+
+def deform_conv3d(
+    x: jnp.ndarray,
+    offset: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    stride: int | Sequence[int] = 1,
+    padding: int | Sequence[int] = 1,
+    dilation: int | Sequence[int] = 1,
+) -> jnp.ndarray:
+    """Deformable 3-D convolution, channels-last.
+
+    :param x:      [B, D, H, W, Cin]
+    :param offset: [B, Do, Ho, Wo, 3*K] — per-tap triples (dD, dH, dW) in tap
+                   order k = ((kd*KH)+kh)*KW+kw, channel k*3+{0,1,2}
+                   (matches the reference offset layout, deform_conv.py:323-335)
+    :param weight: [KD, KH, KW, Cin, Cout] (flax Conv kernel layout)
+    :param bias:   [Cout] or None
+    :return:       [B, Do, Ho, Wo, Cout]
+    """
+    st = _triple(stride)
+    pad = _triple(padding)
+    dil = _triple(dilation)
+
+    b, d, h, w, cin = x.shape
+    kd, kh, kw, cin_w, cout = weight.shape
+    assert cin_w == cin, f"weight Cin {cin_w} != input Cin {cin}"
+    k = kd * kh * kw
+    bo, do, ho, wo, off_c = offset.shape
+    assert off_c == 3 * k, f"offset channels {off_c} != 3*K {3 * k}"
+    n = do * ho * wo
+
+    f32 = jnp.float32
+    # base sampling positions per output voxel and tap: [N, K] each axis
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(do), jnp.arange(ho), jnp.arange(wo), indexing="ij"
+    )
+    kz, ky, kx = jnp.meshgrid(
+        jnp.arange(kd), jnp.arange(kh), jnp.arange(kw), indexing="ij"
+    )
+    base_d = (zz.reshape(-1, 1) * st[0] - pad[0] + kz.reshape(1, -1) * dil[0]).astype(f32)
+    base_h = (yy.reshape(-1, 1) * st[1] - pad[1] + ky.reshape(1, -1) * dil[1]).astype(f32)
+    base_w = (xx.reshape(-1, 1) * st[2] - pad[2] + kx.reshape(1, -1) * dil[2]).astype(f32)
+
+    off = offset.reshape(b, n, k, 3).astype(f32)
+    pos_d = base_d[None] + off[..., 0]  # [B, N, K]
+    pos_h = base_h[None] + off[..., 1]
+    pos_w = base_w[None] + off[..., 2]
+
+    d0 = jnp.floor(pos_d)
+    h0 = jnp.floor(pos_h)
+    w0 = jnp.floor(pos_w)
+    fd = pos_d - d0
+    fh = pos_h - h0
+    fw = pos_w - w0
+
+    x_flat = x.reshape(b, d * h * w, cin)
+    cols = jnp.zeros((b, n, k, cin), x.dtype)
+
+    for cz in (0, 1):
+        zi = d0 + cz
+        wz = jnp.where(cz == 0, 1.0 - fd, fd)
+        z_ok = (zi >= 0) & (zi <= d - 1)
+        for cy in (0, 1):
+            yi = h0 + cy
+            wy = jnp.where(cy == 0, 1.0 - fh, fh)
+            y_ok = (yi >= 0) & (yi <= h - 1)
+            for cx in (0, 1):
+                xi = w0 + cx
+                wx = jnp.where(cx == 0, 1.0 - fw, fw)
+                x_ok = (xi >= 0) & (xi <= w - 1)
+
+                ok = z_ok & y_ok & x_ok
+                wgt = (wz * wy * wx) * ok.astype(f32)  # [B, N, K]
+                zi_c = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+                yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+                xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+                lin = (zi_c * h + yi_c) * w + xi_c  # [B, N, K]
+                gathered = jnp.take_along_axis(
+                    x_flat, lin.reshape(b, n * k, 1), axis=1
+                ).reshape(b, n, k, cin)
+                cols = cols + gathered * wgt[..., None].astype(x.dtype)
+
+    # im2col matmul on the MXU: [B, N, K*Cin] @ [K*Cin, Cout]
+    cols = cols.reshape(b, n, k * cin)
+    w_mat = weight.reshape(k * cin, cout)
+    out = jax.lax.dot_general(
+        cols, w_mat.astype(cols.dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(x.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(b, do, ho, wo, cout)
+
+
+def _torch_kaiming_uniform(key, shape, dtype=jnp.float32):
+    """torch Conv default init: kaiming_uniform_(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (ref deform_conv.py:44-50)."""
+    fan_in = int(np.prod(shape[:-1]))
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class DeformConvPack3D(nn.Module):
+    """Self-offset-predicting deformable 3-D conv
+    (ref DeformConvPack_dv2, deform_conv.py:295-389, dimension='THW').
+
+    A zero-initialised Conv3d predicts 3*K offsets; returns (output, offset).
+    `maxsize` is accepted for config parity but unused — the reference's
+    clamp is commented out (deform_conv.py:377-379).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    stride: int = 1
+    padding: int = 1
+    maxsize: float | None = None
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        ks = _triple(self.kernel_size)
+        k = int(np.prod(ks))
+        cin = x.shape[-1]
+
+        offset = nn.Conv(
+            3 * k,
+            kernel_size=ks,
+            strides=(self.stride,) * 3,
+            padding=[(self.padding, self.padding)] * 3,
+            use_bias=True,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv_offset",
+        )(x)
+
+        weight = self.param("weight", _torch_kaiming_uniform, ks + (cin, self.features))
+        if self.use_bias:
+            fan_in = float(np.prod(ks)) * cin
+            bound = 1.0 / np.sqrt(fan_in)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+        else:
+            bias = None
+
+        out = deform_conv3d(
+            x, offset, weight, bias, stride=self.stride, padding=self.padding
+        )
+        return out, offset

@@ -109,10 +109,15 @@ class Trainer:
 
     def test(self):
         pipe = self._pipeline(training=False)
-        assert self.state is not None, "call init_state / fit before test"
         self.metric_bank.clear()
         with self.mesh:
             for batch in pipe:
+                if self.state is None:
+                    # test-only run: init from the first batch, then restore
+                    # the checkpoint given by --load_model (ref model_selector.py:17-26)
+                    probe = shard_batch(numeric_batch({k: v for k, v in batch.items()
+                                                       if k not in ("_valid",)}), self.mesh)
+                    self.init_state(probe, steps_per_epoch=1)
                 batch = apply_group_swap(batch, training=False)
                 valid = batch.pop("_valid")
                 device_batch = shard_batch(numeric_batch(batch), self.mesh)

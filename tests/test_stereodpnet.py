@@ -1,0 +1,116 @@
+"""StereoDPNet: shapes, train/eval modes, loss integration, gradient flow."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.test_end_to_end import tiny_option
+
+
+def make_batch(b=2, h=64, w=64, rng_seed=0):
+    rng = np.random.default_rng(rng_seed)
+    depth = rng.uniform(800, 1200, (b, h, w)).astype(np.float32)
+    ab = np.tile(np.array([[32.98, -26996.49]], np.float32), (b, 1))
+    disp = (ab[:, 1:2, None] / depth + ab[:, 0:1, None]).astype(np.float32)
+    return {
+        "left": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "right": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "center": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "depth": depth,
+        "mask": np.ones((b, h, w), np.float32),
+        "disp": disp,
+        "idepth": (depth.max() / depth).astype(np.float32),
+        "normal": rng.standard_normal((b, h, w, 3)).astype(np.float32),
+        "K": np.tile(np.array([[[740.0, 0, w / 2], [0, 740.0, h / 2], [0, 0, 1]]], np.float32), (b, 1, 1)),
+        "abvalue": ab,
+    }
+
+
+@pytest.fixture(scope="module")
+def sdp_setup():
+    from dualpixelface_tpu.models import model_selector
+
+    opt = tiny_option(model_name="stereodpnet", use_normal=True)
+    model = model_selector(opt)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(b=1, h=32, w=32))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    return opt, model, batch, variables
+
+
+def test_eval_shapes(sdp_setup):
+    opt, model, batch, variables = sdp_setup
+    results = model.apply(variables, batch, train=False)
+    b, h, w = batch["depth"].shape
+    level = opt.model.level
+    assert results["pred_depth"].shape == (b, 1, h, w)
+    assert results["prob_depth"].shape == (b, 1, 4 * level, h, w)
+    assert results["pred_normal"].shape == (b, 1, h, w, 3)
+    assert results["ref_feature"].shape == (b, h // 4, w // 4)
+    assert np.isfinite(np.asarray(results["pred_depth"])).all()
+    n = np.asarray(results["pred_normal"])
+    assert (n >= -1.0).all() and (n <= 1.0).all()
+
+
+def test_train_shapes_and_loss(sdp_setup):
+    from dualpixelface_tpu.losses import loss_selector
+
+    opt, model, batch, variables = sdp_setup
+    results, mutated = model.apply(variables, batch, train=True, mutable=["batch_stats"])
+    b, h, w = batch["depth"].shape
+    assert results["pred_depth"].shape == (b, 3, h, w)  # 3 classifier scales
+    assert "batch_stats" in mutated
+
+    loss_bank = loss_selector(opt)
+    losses = loss_bank(results, batch)
+    assert np.isfinite(float(losses["final_loss"]))
+    assert "smoothL1_loss" in losses and "cosine_loss" in losses
+
+
+def test_gradients_reach_all_params(sdp_setup):
+    from dualpixelface_tpu.losses import loss_selector
+
+    opt, model, batch, variables = sdp_setup
+    loss_bank = loss_selector(opt)
+
+    def loss_fn(params):
+        results, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            batch, train=True, mutable=["batch_stats"],
+        )
+        return loss_bank(results, batch)["final_loss"]
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    nonzero = sum(bool(np.abs(np.asarray(g)).sum() > 0) for _, g in flat)
+    # the vast majority of parameters must receive gradient (zero-init offset
+    # convs legitimately produce zero input-grads at init for some leaves)
+    assert nonzero / len(flat) > 0.85, f"only {nonzero}/{len(flat)} grads nonzero"
+    for path, g in flat:
+        assert np.isfinite(np.asarray(g)).all(), f"non-finite grad at {path}"
+
+
+def test_sample_with_sort_selects_nearest_planes():
+    from dualpixelface_tpu.models.stereodpnet.normal_module import sample_with_sort
+    from dualpixelface_tpu.ops.cost_volume import costrange
+
+    cr = costrange(-4, 12, 8)  # [-1, -0.5, 0, .5, 1, 1.5, 2, 2.5]
+    b, d, h, w, c = 1, 8, 2, 2, 3
+    cost = jnp.arange(b * d * h * w * c, dtype=jnp.float32).reshape(b, d, h, w, c)
+    disp = jnp.full((b, h, w), 0.9)
+    sc, sd = sample_with_sort(cost, disp, cr, 4)
+    assert sc.shape == (b, 4, h, w, c)
+    # nearest planes to 0.9 are 1.0, 0.5, 1.5, 0.0 -> sorted [0.0, 0.5, 1.0, 1.5]
+    np.testing.assert_allclose(np.asarray(sd[0, :, 0, 0]), [0.0, 0.5, 1.0, 1.5])
+
+
+def test_grid_maker_3d_normalized():
+    from dualpixelface_tpu.models.stereodpnet.normal_module import grid_maker_3d
+
+    b, d, h, w = 2, 4, 8, 8
+    K = jnp.tile(jnp.asarray([[[740.0, 0, 16], [0, 740.0, 16], [0, 0, 1]]]), (b, 1, 1))
+    disp = jnp.linspace(-1, 2.5, b * d * h * w).reshape(b, d, h, w)
+    ab = jnp.tile(jnp.asarray([[32.98, -26996.49]]), (b, 1))
+    vol = grid_maker_3d(K, disp, ab)
+    assert vol.shape == (b, d, h, w, 3)
+    v = np.asarray(vol)
+    assert v.min() >= -1e-5 and v.max() <= 1.0 + 1e-5
