@@ -30,7 +30,11 @@ class CosineLoss:
         mask = (batch["mask"] > 0) if "mask" in batch else None
 
         gt = l2_normalize(batch["normal"])  # [B, H, W, 3]
-        mask_c = None if mask is None else mask[..., None]
+        mask_c = (
+            None
+            if mask is None
+            else jnp.broadcast_to(mask[..., None], gt.shape)
+        )
         loss = 0.0
         for i in range(num_pred):
             p = l2_normalize(pred[:, i])
