@@ -37,8 +37,11 @@ class Trainer:
         self.model = model_selector(option)
         self.loss_bank = loss_selector(option)
         self.metric_bank = metric_selector(option)
-        self.train_step = make_train_step(self.model, self.loss_bank)
-        self.eval_step = make_eval_step(self.model)
+        from dualpixelface_tpu.ops.precision import resolve_policy
+
+        compute_dtype = resolve_policy(option)
+        self.train_step = make_train_step(self.model, self.loss_bank, compute_dtype)
+        self.eval_step = make_eval_step(self.model, compute_dtype)
         self.state = None
         self._log_file = None
         if getattr(option, "output_path", None):
