@@ -41,15 +41,24 @@ class STEREODPNET(nn.Module):
             ref_fea, tar_fea, train
         )  # [B, D, H/4, W/4, 2C]
 
-        cost_logits, cost_feats = PSMNetHGAggregation(opt.inplanes, name="aggregation")(
-            cost, train
-        )  # n x [B, 4D, H, W], n x [B, D, H/4, W/4, C]
+        # Pallas fused path: skip materializing the x64 full-res logit/prob
+        # volumes — the kernel reads coarse logits and writes disparity
+        # directly (prob_depth is then not produced).
+        fused = bool(opt.get("fused_regression", False))
+        cost_logits, cost_feats = PSMNetHGAggregation(
+            opt.inplanes, upsample=not fused, name="aggregation"
+        )(cost, train)  # n x [B, 4D, H, W] (or coarse), n x [B, D, H/4, W/4, C]
 
         disp_out, prob_out = [], []
         for logits in cost_logits:
-            d, p = soft_argmin(logits, disparities)
-            disp_out.append(d)
-            prob_out.append(p)
+            if fused:
+                from dualpixelface_tpu.ops.kernels import fused_softargmin
+
+                disp_out.append(fused_softargmin(logits, disparities, factor=4))
+            else:
+                d, p = soft_argmin(logits, disparities)
+                disp_out.append(d)
+                prob_out.append(p)
 
         normal = None
         if opt.predict_normal:
@@ -60,7 +69,7 @@ class STEREODPNET(nn.Module):
 
         results = {
             "pred_depth": jnp.stack(disp_out, axis=1),
-            "prob_depth": jnp.stack(prob_out, axis=1),
+            "prob_depth": jnp.stack(prob_out, axis=1) if prob_out else None,
             "pred_normal": normal,
             "ref_feature": jnp.max(ref_fea, axis=-1),
         }

@@ -43,9 +43,14 @@ class PSMNetHGAggregation(nn.Module):
     """22 3-D convs: pre-filters + 3 hourglasses + 3 classifiers
     (ref modules.py:264-337). Input [B, D, H, W, 2C]; returns
     (cost logits list [B, 4D, 4H, 4W] — 3 scales in train, 1 in eval —
-    and the pre-classifier feature volumes)."""
+    and the pre-classifier feature volumes).
+
+    upsample=False returns the COARSE classifier logits instead, for models
+    that fuse the x4 trilinear upsample into the regression (the Pallas
+    fused_softargmin kernel path)."""
 
     features: int
+    upsample: bool = True
 
     @nn.compact
     def __call__(self, cost, train: bool = False):
@@ -72,7 +77,10 @@ class PSMNetHGAggregation(nn.Module):
         cost2 = classify(out2, "classif2") + cost1
         cost3 = classify(out3, "classif3") + cost2
 
-        up = lambda cc: upsample3d_trilinear(cc, 4)[..., 0]  # [B, 4D, 4H, 4W]
+        if self.upsample:
+            up = lambda cc: upsample3d_trilinear(cc, 4)[..., 0]  # [B, 4D, 4H, 4W]
+        else:
+            up = lambda cc: cc[..., 0]  # coarse [B, D, H/4, W/4]
         if train:
             return [up(cost3), up(cost2), up(cost1)], [out3, out2, out1]
         return [up(cost3)], [out3]
