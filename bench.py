@@ -52,15 +52,36 @@ def main():
     from dualpixelface_tpu.config import Configuration
     from dualpixelface_tpu.models import model_selector
 
-    opt = Configuration("train_synthetic_stereodpnet", make_workspace=False).get_config()
+    cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    # bench policy: bf16 compute + Pallas fused regression (the production
+    # eval path; parity with the unfused path is covered by tests)
+    cfg.data["model"]["fused_regression"] = True
+    opt = cfg.get_config()
     model = model_selector(opt)
 
-    batch = jax.tree_util.tree_map(jnp.asarray, make_bench_batch(BATCH, HEIGHT, WIDTH))
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # init on CPU at a small spatial size (params are shape-agnostic, and the
+    # unfused twin has an identical param tree — fused_regression only changes
+    # the regression compute, not parameters), then transfer
+    init_cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    init_model = model_selector(init_cfg.get_config())
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        small = jax.tree_util.tree_map(jnp.asarray, make_bench_batch(1, 96, 96))
+        variables = init_model.init(jax.random.PRNGKey(0), small, train=False)
+    device = jax.devices()[0]
+    variables = jax.device_put(variables, device)
+    batch = jax.device_put(
+        jax.tree_util.tree_map(jnp.asarray, make_bench_batch(BATCH, HEIGHT, WIDTH)), device
+    )
+    jax.block_until_ready((variables, batch))
+
+    from dualpixelface_tpu.ops.precision import cast_floating
 
     @jax.jit
     def fwd(variables, batch):
-        return model.apply(variables, batch, train=False)["pred_depth"]
+        v = cast_floating(variables, jnp.bfloat16)
+        b = cast_floating(batch, jnp.bfloat16)
+        return model.apply(v, b, train=False)["pred_depth"].astype(jnp.float32)
 
     for _ in range(WARMUP):
         fwd(variables, batch).block_until_ready()

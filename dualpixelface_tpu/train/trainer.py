@@ -113,6 +113,8 @@ class Trainer:
     def test(self):
         pipe = self._pipeline(training=False)
         self.metric_bank.clear()
+        save_figs = self.opt.get("mode") == "demo" and getattr(self.opt, "output_path", None)
+        step_idx = 0
         with self.mesh:
             for batch in pipe:
                 if self.state is None:
@@ -132,6 +134,11 @@ class Trainer:
                 host_batch = {k: v[:nvalid] for k, v in host_batch.items()}
                 if "depth" in host_batch:
                     self.metric_bank(host_results, host_batch)
+                if save_figs:
+                    from dualpixelface_tpu.utils.visualizer import save_result_fig_depth
+
+                    save_result_fig_depth(self.opt, host_results, host_batch, 0, step_idx, mode="DEMO")
+                step_idx += 1
         self.metric_bank.viewer()
         agg = self.metric_bank.aggregate()
         self._log({"mode": "test", **{f"{m}/{k}": v for m, d in agg.items() for k, v in d.items()}})
