@@ -28,7 +28,11 @@ def write_fixture_tree(
     height: int = 96,
     width: int = 96,
     seed: int = 7,
+    cams=None,
 ) -> Path:
+    """cams=None writes one camera per view index (single-view layout);
+    cams=(1,2,3) writes every camera for every view index so the multi-view
+    ref_view lookup (INFO_<cam>_<view>_<light>.json) resolves."""
     root = Path(root)
     specs = [("train", "group_train", n_train), ("test", "group_test", n_test)]
 
@@ -38,9 +42,18 @@ def write_fixture_tree(
             (gdir / sub).mkdir(parents=True, exist_ok=True)
         (root / f"{split}.txt").write_text(group + "\n")
 
+        entries = []
         for i in range(count):
-            cam = 1 + i % 8
-            s = synth_sample(i if split == "train" else 1000 + i, height, width, camidx=cam, seed=seed)
+            if cams is None:
+                entries.append((i, 1 + i % 8))
+            else:
+                entries.extend((i, c) for c in cams)
+
+        for i, cam in entries:
+            s = synth_sample(
+                (i * 16 + cam) if split == "train" else (1000 + i * 16 + cam),
+                height, width, camidx=cam, seed=seed,
+            )
             viewidx, lightidx = i, 1
             tag = f"{cam}_{viewidx}_{lightidx}"
 

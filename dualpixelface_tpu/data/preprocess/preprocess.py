@@ -38,6 +38,11 @@ def get_crop_size(inputs, ratio: float, factor: int) -> tuple[int, int]:
     if size is None:
         raise RuntimeError("all inputs are None")
     n = (np.ceil(np.array(size) * ratio) // factor).astype(int)
+    error_handler(
+        bool((n > 0).all()),
+        f"soft crop of {size} at ratio {ratio} rounds below crop_factor {factor}",
+        __name__, True,
+    )
     return tuple(int(factor) * n)
 
 

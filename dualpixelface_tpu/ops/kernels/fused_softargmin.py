@@ -32,36 +32,37 @@ from dualpixelface_tpu.ops.resize import _linear_matrix
 
 
 def _kernel(cost_ref, wd_ref, wy_ref, wx_ref, dvals_ref, out_ref):
-    d, h, w = cost_ref.shape[1], cost_ref.shape[2], cost_ref.shape[3]
+    """Mosaic-friendly formulation: only 2-D matmuls (lane dim stays W) and
+    broadcast multiply-adds over the small coarse depth axis — no reshapes
+    that merge dims into the lane axis."""
+    d = cost_ref.shape[1]
     dp = wd_ref.shape[0]  # upsampled bin count
     t = wy_ref.shape[0]  # row tile
-    wo = wx_ref.shape[0]  # full output width
+    wo = wx_ref.shape[1]  # full output width (wx is pre-transposed [w, W])
 
-    cost = cost_ref[0]  # [D, h, w]
-    # x-interp: [D*h, w] @ [w, W] -> [D, h, W]
-    tmp = jax.lax.dot_general(
-        cost.reshape(d * h, w), wx_ref[...].T,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(d, h, wo)
-    # y-interp for this tile: [T, h] @ [h, D*W] -> [T, D, W]
-    tmp = jax.lax.dot_general(
-        wy_ref[...], tmp.transpose(1, 0, 2).reshape(h, d * wo),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(t, d, wo)
-    # d-interp: [D', D] @ [D, T*W] -> [D', T, W]
-    logits = jax.lax.dot_general(
-        wd_ref[...], tmp.transpose(1, 0, 2).reshape(d, t * wo),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(dp, t, wo)
+    wy = wy_ref[...]  # [T, h]
+    wxT = wx_ref[...]  # [w, W]
+
+    logits = jnp.zeros((dp, t, wo), jnp.float32)
+    for di in range(d):  # D is small (8) and static
+        t1 = jax.lax.dot_general(  # x-interp: [h, w] @ [w, W]
+            cost_ref[0, di], wxT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        t2 = jax.lax.dot_general(  # y-interp: [T, h] @ [h, W]
+            wy, t1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # d-interp: accumulate wd[:, di] (x) t2 -> [D', T, W]
+        logits = logits + wd_ref[:, di][:, None, None] * t2[None]
 
     # softmax-expectation over the bin axis
     m = jnp.max(logits, axis=0, keepdims=True)
     e = jnp.exp(logits - m)
     denom = jnp.sum(e, axis=0)
-    num = jnp.sum(e * dvals_ref[...].reshape(dp, 1, 1), axis=0)
+    num = jnp.sum(e * dvals_ref[:, 0][:, None, None], axis=0)
     out_ref[0] = num / denom
 
 
@@ -84,8 +85,8 @@ def fused_softargmin(
 
     wd = jnp.asarray(_linear_matrix(dp, d, True))
     wy = jnp.asarray(_linear_matrix(hp, h, True))
-    wx = jnp.asarray(_linear_matrix(wp, w, True))
-    dvals = jnp.asarray(disp_values, jnp.float32).reshape(dp)
+    wxT = jnp.asarray(_linear_matrix(wp, w, True)).T  # [w, W], lane dim = W
+    dvals = jnp.asarray(disp_values, jnp.float32).reshape(dp, 1)
 
     grid_spec = pl.GridSpec(
         grid=(b, n_tiles),
@@ -93,8 +94,8 @@ def fused_softargmin(
             pl.BlockSpec((1, d, h, w), lambda bi, ti: (bi, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((dp, d), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((row_tile, h), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, w), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dp,), lambda bi, ti: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, wp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((dp, 1), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, row_tile, wp), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
@@ -112,5 +113,5 @@ def fused_softargmin(
             bytes_accessed=b * (d * h * w + hp * wp) * 4,
             transcendentals=b * dp * hp * wp,
         ),
-    )(cost.astype(jnp.float32), wd, wy, wx, dvals)
+    )(cost.astype(jnp.float32), wd, wy, wxT, dvals)
     return out.astype(cost.dtype)
