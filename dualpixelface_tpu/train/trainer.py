@@ -33,7 +33,16 @@ from dualpixelface_tpu.train.steps import make_eval_step, make_train_step
 class Trainer:
     def __init__(self, option, mesh=None):
         self.opt = option
-        self.mesh = mesh if mesh is not None else get_mesh()
+        if mesh is None:
+            # the data axis must divide the global batch: use the largest
+            # device count that does (ref DP scatters any batch; a global-view
+            # sharded program is stricter)
+            import math
+
+            devices = jax.devices()
+            use = math.gcd(int(option.batch_size), len(devices))
+            mesh = get_mesh(devices[:use])
+        self.mesh = mesh
         self.model = model_selector(option)
         self.loss_bank = loss_selector(option)
         self.metric_bank = metric_selector(option)
