@@ -89,9 +89,13 @@ class Trainer:
     # ---------- loops ----------
 
     def fit(self, epochs: int | None = None):
+        from dualpixelface_tpu.train.optim import scheduler_selector
+
         epochs = epochs if epochs is not None else self.opt.epoch
         pipe = self._pipeline(training=True)
         steps_per_epoch = len(pipe)
+        lr_fn = scheduler_selector(self.opt, steps_per_epoch)
+        validate_every = int(self.opt.get("validate_every", 1))
         first = True
         with self.mesh:
             for epoch in range(epochs):
@@ -112,11 +116,18 @@ class Trainer:
                         running[k] = running.get(k, 0.0) + float(v)
                 record = {k: v / max(n, 1) for k, v in running.items()}
                 record.update(
-                    epoch=epoch, steps=n, sec=round(time.time() - t0, 2), mode="train"
+                    epoch=epoch, steps=n, sec=round(time.time() - t0, 2),
+                    lr=float(lr_fn(int(self.state.step))), mode="train",
                 )
                 self._log(record)
                 if getattr(self.opt, "ckpt_path", None):
                     save_checkpoint(self.opt.ckpt_path, self.state, epoch)
+                # per-epoch validation with metric tables (PL parity: the
+                # reference validates every epoch with the metric viewer,
+                # stereodpnet/mainmodel.py:143-152; batch size differs — we
+                # reuse the test pipeline)
+                if validate_every and (epoch + 1) % validate_every == 0 and epoch + 1 < epochs:
+                    self.test()
         return self.state
 
     def test(self):
