@@ -81,15 +81,19 @@ def main():
     def fwd(variables, batch):
         v = cast_floating(variables, jnp.bfloat16)
         b = cast_floating(batch, jnp.bfloat16)
-        return model.apply(v, b, train=False)["pred_depth"].astype(jnp.float32)
+        # scalar output: the timing loop forces completion via host readback
+        # (a device-to-host sync is the only reliable barrier on tunneled
+        # backends where block_until_ready can return at dispatch)
+        return jnp.sum(model.apply(v, b, train=False)["pred_depth"]).astype(jnp.float32)
 
     for _ in range(WARMUP):
-        fwd(variables, batch).block_until_ready()
+        float(fwd(variables, batch))
 
     t0 = time.perf_counter()
+    out = None
     for _ in range(ITERS):
         out = fwd(variables, batch)
-    out.block_until_ready()
+    float(out)  # drains the in-order execution queue
     dt = time.perf_counter() - t0
 
     pairs_per_sec = BATCH * ITERS / dt

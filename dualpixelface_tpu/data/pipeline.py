@@ -89,22 +89,25 @@ class DataPipeline:
         stop = threading.Event()
 
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(n_batches):
-                    if stop.is_set():
-                        return
-                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    samples = list(pool.map(self._get, idx))
-                    if len(samples) < self.batch_size and not self.drop_last:
-                        pad = self.batch_size - len(samples)
-                        samples = samples + [samples[-1]] * pad
-                        batch = collate(samples)
-                        batch["_valid"] = np.arange(self.batch_size) < (self.batch_size - pad)
-                    else:
-                        batch = collate(samples)
-                        batch["_valid"] = np.ones(self.batch_size, bool)
-                    q.put(batch)
-            q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(n_batches):
+                        if stop.is_set():
+                            return
+                        idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                        samples = list(pool.map(self._get, idx))
+                        if len(samples) < self.batch_size and not self.drop_last:
+                            pad = self.batch_size - len(samples)
+                            samples = samples + [samples[-1]] * pad
+                            batch = collate(samples)
+                            batch["_valid"] = np.arange(self.batch_size) < (self.batch_size - pad)
+                        else:
+                            batch = collate(samples)
+                            batch["_valid"] = np.ones(self.batch_size, bool)
+                        q.put(batch)
+                q.put(None)
+            except BaseException as e:  # propagate worker failures to consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -113,6 +116,8 @@ class DataPipeline:
                 batch = q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

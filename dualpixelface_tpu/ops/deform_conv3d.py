@@ -88,20 +88,23 @@ def deform_conv3d(
     fh = pos_h - h0
     fw = pos_w - w0
 
-    x_flat = x.reshape(b, d * h * w, cin)
-    cols = jnp.zeros((b, n, k, cin), x.dtype)
+    # Gather in [B, Cin, N*K] layout: the huge N*K axis sits in the lane
+    # dimension, so nothing pads (the [.., N*K, Cin] layout pads Cin up to the
+    # tile width — a 2x HBM expansion observed on v5e for Cin=35/64).
+    x_t = jnp.swapaxes(x.reshape(b, d * h * w, cin), 1, 2)  # [B, Cin, DHW]
+    cols = jnp.zeros((b, cin, n * k), x.dtype)
 
     for cz in (0, 1):
         zi = d0 + cz
-        wz = jnp.where(cz == 0, 1.0 - fd, fd)
+        wz = (1.0 - fd) if cz == 0 else fd
         z_ok = (zi >= 0) & (zi <= d - 1)
         for cy in (0, 1):
             yi = h0 + cy
-            wy = jnp.where(cy == 0, 1.0 - fh, fh)
+            wy = (1.0 - fh) if cy == 0 else fh
             y_ok = (yi >= 0) & (yi <= h - 1)
             for cx in (0, 1):
                 xi = w0 + cx
-                wx = jnp.where(cx == 0, 1.0 - fw, fw)
+                wx = (1.0 - fw) if cx == 0 else fw
                 x_ok = (xi >= 0) & (xi <= w - 1)
 
                 ok = z_ok & y_ok & x_ok
@@ -109,20 +112,18 @@ def deform_conv3d(
                 zi_c = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
                 yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
                 xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
-                lin = (zi_c * h + yi_c) * w + xi_c  # [B, N, K]
-                gathered = jnp.take_along_axis(
-                    x_flat, lin.reshape(b, n * k, 1), axis=1
-                ).reshape(b, n, k, cin)
-                cols = cols + gathered * wgt[..., None].astype(x.dtype)
+                lin = ((zi_c * h + yi_c) * w + xi_c).reshape(b, 1, n * k)
+                gathered = jnp.take_along_axis(x_t, lin, axis=2)  # [B, Cin, N*K]
+                cols = cols + gathered * wgt.reshape(b, 1, n * k).astype(x.dtype)
 
-    # im2col matmul on the MXU: [B, N, K*Cin] @ [K*Cin, Cout]
-    cols = cols.reshape(b, n, k * cin)
-    w_mat = weight.reshape(k * cin, cout)
+    # im2col contraction on the MXU: cols [B, Cin, N, K] x W [Cin, K, Cout]
+    cols = cols.reshape(b, cin, n, k)
+    w_mat = weight.reshape(k, cin, cout).swapaxes(0, 1)  # [Cin, K, Cout]
     out = jax.lax.dot_general(
         cols, w_mat.astype(cols.dtype),
-        dimension_numbers=(((2,), (0,)), ((), ())),
+        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
         preferred_element_type=f32,
-    ).astype(x.dtype)
+    ).astype(x.dtype)  # [B, N, Cout]
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(b, do, ho, wo, cout)
@@ -181,7 +182,15 @@ class DeformConvPack3D(nn.Module):
         else:
             bias = None
 
-        out = deform_conv3d(
-            x, offset, weight, bias, stride=self.stride, padding=self.padding
+        # Rematerialize in the backward pass: without this, AD saves every
+        # corner's gathered/weighted tensor as residuals (8 x ~[B, Cin, N*K]
+        # — an OOM at training scale on 16 GB chips); with it the backward
+        # recomputes the cheap gathers instead (the standard TPU trade,
+        # SURVEY.md: jax.checkpoint to trade FLOPs for HBM).
+        deform = jax.checkpoint(
+            lambda x_, o_, w_, b_: deform_conv3d(
+                x_, o_, w_, b_, stride=self.stride, padding=self.padding
+            )
         )
+        out = deform(x, offset, weight, bias)
         return out, offset
