@@ -41,6 +41,7 @@ def deform_conv3d(
     stride: int | Sequence[int] = 1,
     padding: int | Sequence[int] = 1,
     dilation: int | Sequence[int] = 1,
+    impl: str = "packed8",
 ) -> jnp.ndarray:
     """Deformable 3-D convolution, channels-last.
 
@@ -50,8 +51,21 @@ def deform_conv3d(
                    (matches the reference offset layout, deform_conv.py:323-335)
     :param weight: [KD, KH, KW, Cin, Cout] (flax Conv kernel layout)
     :param bias:   [Cout] or None
+    :param impl:   'packed8' (default) fetches ALL EIGHT trilinear corners
+                   with a single gather index by reading from a corner-shifted
+                   8x channel expansion of x; 'packed' packs only the (cy, cx)
+                   quad (2 gathers); 'simple' is the plain 8-corner
+                   formulation. TPU gathers are index-bound, so index packing
+                   is a measured 145 -> 56 -> 32 ms progression at ANM scale
+                   (docs/PERFORMANCE.md). All three are tested equivalent.
     :return:       [B, Do, Ho, Wo, Cout]
     """
+    if impl in ("packed", "packed8"):
+        return _deform_conv3d_packed(
+            x, offset, weight, bias, stride, padding, dilation,
+            pack_depth=(impl == "packed8"),
+        )
+    assert impl == "simple", impl
     st = _triple(stride)
     pad = _triple(padding)
     dil = _triple(dilation)
@@ -124,6 +138,125 @@ def deform_conv3d(
         dimension_numbers=(((1, 3), (0, 1)), ((), ())),
         preferred_element_type=f32,
     ).astype(x.dtype)  # [B, N, Cout]
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return out.reshape(b, do, ho, wo, cout)
+
+
+def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation, pack_depth=False):
+    """Corner-packed gather formulation (same math as 'simple').
+
+    TPU gathers are index-bound, not byte-bound (docs/PERFORMANCE.md): the
+    8-corner form issues 8x N*K indices. Here the four (cy, cx) corners of
+    each sample are materialized as a 4x channel expansion of a zero-padded
+    copy of x, so ONE index fetches the whole quad; only the two depth
+    corners remain as separate gathers — 4x fewer indices total.
+    """
+    st = _triple(stride)
+    pad = _triple(padding)
+    dil = _triple(dilation)
+
+    b, d, h, w, cin = x.shape
+    kd, kh, kw, cin_w, cout = weight.shape
+    assert cin_w == cin
+    k = kd * kh * kw
+    bo, do, ho, wo, off_c = offset.shape
+    assert off_c == 3 * k
+    n = do * ho * wo
+    f32 = jnp.float32
+
+    zz, yy, xx = jnp.meshgrid(jnp.arange(do), jnp.arange(ho), jnp.arange(wo), indexing="ij")
+    kz, ky, kx = jnp.meshgrid(jnp.arange(kd), jnp.arange(kh), jnp.arange(kw), indexing="ij")
+    base_d = (zz.reshape(-1, 1) * st[0] - pad[0] + kz.reshape(1, -1) * dil[0]).astype(f32)
+    base_h = (yy.reshape(-1, 1) * st[1] - pad[1] + ky.reshape(1, -1) * dil[1]).astype(f32)
+    base_w = (xx.reshape(-1, 1) * st[2] - pad[2] + kx.reshape(1, -1) * dil[2]).astype(f32)
+
+    off = offset.reshape(b, n, k, 3).astype(f32)
+    pos_d = base_d[None] + off[..., 0]
+    pos_h = base_h[None] + off[..., 1]
+    pos_w = base_w[None] + off[..., 2]
+    d0 = jnp.floor(pos_d)
+    h0 = jnp.floor(pos_h)
+    w0 = jnp.floor(pos_w)
+    fd = pos_d - d0
+    fh = pos_h - h0
+    fw = pos_w - w0
+
+    # zero-pad one voxel on every side; corner-expand into channel groups
+    P = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+    if not pack_depth:
+        quads = [
+            P[:, :, cy : cy + h + 1, cx : cx + w + 1, :]
+            for cy in (0, 1)
+            for cx in (0, 1)
+        ]
+        xq = jnp.concatenate(quads, axis=-1)  # [B, D+2, H+1, W+1, 4*Cin]
+        m = (d + 2) * (h + 1) * (w + 1)
+        xq_t = jnp.swapaxes(xq.reshape(b, m, 4 * cin), 1, 2)  # [B, 4Cin, M]
+
+    ph = jnp.clip(h0 + 1.0, 0, h).astype(jnp.int32)  # [B, N, K]
+    pw = jnp.clip(w0 + 1.0, 0, w).astype(jnp.int32)
+
+    wy = [(1.0 - fh), fh]
+    wx = [(1.0 - fw), fw]
+    oky = [(h0 >= 0) & (h0 <= h - 1), (h0 + 1 >= 0) & (h0 + 1 <= h - 1)]
+    okx = [(w0 >= 0) & (w0 <= w - 1), (w0 + 1 >= 0) & (w0 + 1 <= w - 1)]
+
+    wz_ = [(1.0 - fd), fd]
+    okz_ = [(d0 >= 0) & (d0 <= d - 1), (d0 + 1 >= 0) & (d0 + 1 <= d - 1)]
+
+    if pack_depth:
+        # ONE gather per sample: all 8 corners packed into channel groups
+        # g = cz*4 + cy*2 + cx (x8 has D+1 planes; group cz reads P[pz+cz])
+        octs = [
+            P[:, cz : cz + d + 1, cy : cy + h + 1, cx : cx + w + 1, :]
+            for cz in (0, 1)
+            for cy in (0, 1)
+            for cx in (0, 1)
+        ]
+        x8 = jnp.concatenate(octs, axis=-1)  # [B, D+1, H+1, W+1, 8*Cin]
+        m8 = (d + 1) * (h + 1) * (w + 1)
+        x8_t = jnp.swapaxes(x8.reshape(b, m8, 8 * cin), 1, 2)
+        pz = jnp.clip(d0 + 1.0, 0, d).astype(jnp.int32)
+        lin = ((pz * (h + 1) + ph) * (w + 1) + pw).reshape(b, 1, n * k)
+        gathered = jnp.take_along_axis(x8_t, lin, axis=2).reshape(b, 8, cin, n * k)
+        w8 = jnp.stack(
+            [
+                (wz_[cz] * wy[cy] * wx[cx]
+                 * (okz_[cz] & oky[cy] & okx[cx]).astype(f32)).reshape(b, n * k)
+                for cz in (0, 1)
+                for cy in (0, 1)
+                for cx in (0, 1)
+            ],
+            axis=1,
+        )
+        cols = jnp.sum(gathered * w8[:, :, None, :].astype(x.dtype), axis=1)
+    else:
+        cols = jnp.zeros((b, cin, n * k), x.dtype)
+        for cz in (0, 1):
+            pz = jnp.clip(d0 + cz + 1.0, 0, d + 1).astype(jnp.int32)
+            lin = ((pz * (h + 1) + ph) * (w + 1) + pw).reshape(b, 1, n * k)
+            gathered = jnp.take_along_axis(xq_t, lin, axis=2)  # [B, 4Cin, N*K]
+            gathered = gathered.reshape(b, 4, cin, n * k)
+            # per-quad-corner weights, group order cy*2+cx
+            w4 = jnp.stack(
+                [
+                    (wz_[cz] * wy[cy] * wx[cx]
+                     * (okz_[cz] & oky[cy] & okx[cx]).astype(f32)).reshape(b, n * k)
+                    for cy in (0, 1)
+                    for cx in (0, 1)
+                ],
+                axis=1,
+            )  # [B, 4, N*K]
+            cols = cols + jnp.sum(gathered * w4[:, :, None, :].astype(x.dtype), axis=1)
+
+    cols = cols.reshape(b, cin, n, k)
+    w_mat = weight.reshape(k, cin, cout).swapaxes(0, 1)
+    out = jax.lax.dot_general(
+        cols, w_mat.astype(cols.dtype),
+        dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+        preferred_element_type=f32,
+    ).astype(x.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)
     return out.reshape(b, do, ho, wo, cout)

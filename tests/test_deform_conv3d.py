@@ -69,9 +69,28 @@ def small_problem():
 
 def test_matches_naive_oracle(small_problem):
     x, offset, weight, bias = small_problem
-    out = np.asarray(deform_conv3d(jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight), jnp.asarray(bias)))
     ref = naive_deform_conv3d(x, offset, weight, bias)
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+    for impl in ("simple", "packed", "packed8"):
+        out = np.asarray(
+            deform_conv3d(
+                jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+                jnp.asarray(bias), impl=impl,
+            )
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4, err_msg=impl)
+
+
+def test_packed_matches_simple_large_offsets():
+    """Packed quad-gather must agree with the 8-corner form even for wild
+    offsets that push corners far out of bounds."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 4, 6, 5, 3)).astype(np.float32))
+    offset = jnp.asarray((rng.standard_normal((2, 4, 6, 5, 81)) * 5.0).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)).astype(np.float32))
+    a = deform_conv3d(x, offset, weight, None, impl="simple")
+    for impl in ("packed", "packed8"):
+        b = deform_conv3d(x, offset, weight, None, impl=impl)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=impl)
 
 
 def test_zero_offset_equals_conv3d(small_problem):
