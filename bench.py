@@ -19,10 +19,10 @@ import time
 REF_GPU_PAIRS_PER_SEC = 4.0
 TARGET = 5.0 * REF_GPU_PAIRS_PER_SEC
 
-BATCH = 2
+BATCH = 4
 HEIGHT, WIDTH = 384, 288  # factor-96 crop like the FaceDP pipeline
 WARMUP = 2
-ITERS = 10
+ITERS = 20
 
 
 def make_bench_batch(b, h, w):
