@@ -102,7 +102,10 @@ class Trainer:
                 pipe.set_epoch(epoch)
                 t0 = time.time()
                 n = 0
-                running: dict = {}
+                step_losses: list[dict] = []
+                # no per-step host sync: loss scalars stay on device and are
+                # fetched once per epoch, so dispatch runs ahead of execution
+                # and H2D of batch i+1 overlaps step i
                 for batch in pipe:
                     batch = numeric_batch(batch)
                     batch.pop("_valid", None)
@@ -111,7 +114,10 @@ class Trainer:
                         self.init_state(device_batch, steps_per_epoch)
                         first = False
                     self.state, losses = self.train_step(self.state, device_batch)
+                    step_losses.append(losses)
                     n += 1
+                running: dict = {}
+                for losses in step_losses:  # single drain at epoch end
                     for k, v in losses.items():
                         running[k] = running.get(k, 0.0) + float(v)
                 record = {k: v / max(n, 1) for k, v in running.items()}

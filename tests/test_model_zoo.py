@@ -90,6 +90,16 @@ def test_bts():
     assert (d >= opt.model.min_depth - 1e-3).all() and (d <= opt.model.max_depth + 1e-3).all()
 
 
+def test_bts_densenet():
+    b, h, w = 1, 64, 64
+    batch = make_batch(b, h, w)
+    run_model(
+        "bts", batch,
+        train_shapes=(b, 1, h, w), eval_shapes=(b, 1, h, w),
+        model_overrides={"bts_size": 64, "encoder": "densenet121_bts"},
+    )
+
+
 def test_model_registry_lists_all():
     from dualpixelface_tpu.models import _ensure_imported, available_models
 
