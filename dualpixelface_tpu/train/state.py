@@ -21,7 +21,9 @@ def create_train_state(model, option, sample_batch: dict, steps_per_epoch: int, 
     from dualpixelface_tpu.train.optim import optimizer_selector
 
     rng = rng if rng is not None else jax.random.PRNGKey(1)  # seed_everything(1) parity
-    variables = model.init(rng, sample_batch, train=False)
+    # jitted init: one compiled program instead of thousands of eager ops
+    # (critical on remote/tunneled devices where per-op latency dominates)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(rng, sample_batch)
     tx = optimizer_selector(option, steps_per_epoch)
     return TrainState.create(
         apply_fn=model.apply,
