@@ -88,6 +88,23 @@ class Trainer:
 
     # ---------- loops ----------
 
+    def latest_checkpoint(self):
+        """Newest epoch checkpoint in the workspace, or None.
+
+        Basic elastic recovery beyond the reference's manual --load_model
+        resume (SURVEY.md §5 'recovery = manual resume'): restarting the same
+        run continues from the last saved epoch automatically when
+        `auto_resume` is set.
+        """
+        ckpt_dir = getattr(self.opt, "ckpt_path", None)
+        if not ckpt_dir:
+            return None, -1
+        ckpts = sorted(Path(ckpt_dir).glob("checkpoint_*"))
+        if not ckpts:
+            return None, -1
+        last = ckpts[-1]
+        return str(last), int(last.name.split("_")[-1])
+
     def fit(self, epochs: int | None = None):
         from dualpixelface_tpu.train.optim import scheduler_selector
 
@@ -96,9 +113,16 @@ class Trainer:
         steps_per_epoch = len(pipe)
         lr_fn = scheduler_selector(self.opt, steps_per_epoch)
         validate_every = int(self.opt.get("validate_every", 1))
+        start_epoch = 0
+        resume_path = None
+        if self.opt.get("auto_resume"):
+            resume_path, last_epoch = self.latest_checkpoint()
+            if resume_path is not None:
+                start_epoch = last_epoch + 1
+                self._log({"mode": "resume", "checkpoint": resume_path, "epoch": start_epoch})
         first = True
         with self.mesh:
-            for epoch in range(epochs):
+            for epoch in range(start_epoch, epochs):
                 pipe.set_epoch(epoch)
                 t0 = time.time()
                 n = 0
@@ -112,6 +136,8 @@ class Trainer:
                     device_batch = shard_batch(batch, self.mesh)
                     if first:
                         self.init_state(device_batch, steps_per_epoch)
+                        if resume_path is not None:
+                            self.state = restore_checkpoint(resume_path, self.state, strict=True)
                         first = False
                     self.state, losses = self.train_step(self.state, device_batch)
                     step_losses.append(losses)

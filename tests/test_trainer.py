@@ -42,6 +42,24 @@ def test_trainer_fit_test_artifacts(tmp_path):
     assert any(l.get("mode") == "train" for l in lines)
     assert any(l.get("mode") == "test" for l in lines)
 
+    # auto-resume: a fresh Trainer on the same workspace with auto_resume
+    # continues from the saved epoch instead of restarting
+    cfg_r = Configuration(
+        "tiny", workspace="t1", root=tmp_path, make_workspace=True,
+        overrides={"auto_resume": True, "epoch": 2},
+    )
+    cfg_r.data["dataset"]["height"] = 96
+    cfg_r.data["dataset"]["width"] = 96
+    cfg_r.data["dataset"]["train_samples"] = 8
+    cfg_r.data["dataset"]["test_samples"] = 4
+    cfg_r.data["crop_aug"]["soft_crop"]["crop_factor"] = 32
+    tr_r = Trainer(cfg_r.get_config())
+    path, last_epoch = tr_r.latest_checkpoint()
+    assert last_epoch == 0 and path is not None
+    tr_r.fit()  # runs only epoch 1 (resumes after epoch 0)
+    ckpts2 = sorted((ws / "checkpoints").glob("checkpoint_*"))
+    assert len(ckpts2) == 2
+
     # test-only run restoring the checkpoint (the --load_model path)
     cfg2 = Configuration(
         "tiny", workspace="t1", root=tmp_path, make_workspace=True,
