@@ -81,10 +81,15 @@ def main():
     def fwd(variables, batch):
         v = cast_floating(variables, jnp.bfloat16)
         b = cast_floating(batch, jnp.bfloat16)
-        # scalar output: the timing loop forces completion via host readback
-        # (a device-to-host sync is the only reliable barrier on tunneled
-        # backends where block_until_ready can return at dispatch)
-        return jnp.sum(model.apply(v, b, train=False)["pred_depth"]).astype(jnp.float32)
+        results = model.apply(v, b, train=False)
+        # consume EVERY model output (depth + normal) so XLA cannot
+        # dead-code-eliminate branches; scalar return forces completion via
+        # host readback (the only reliable barrier on tunneled backends where
+        # block_until_ready can return at dispatch)
+        total = jnp.sum(results["pred_depth"])
+        if results.get("pred_normal") is not None:
+            total = total + jnp.sum(results["pred_normal"])
+        return total.astype(jnp.float32)
 
     for _ in range(WARMUP):
         float(fwd(variables, batch))
