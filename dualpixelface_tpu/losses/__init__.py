@@ -14,8 +14,6 @@ from __future__ import annotations
 
 from typing import Callable
 
-import jax.numpy as jnp
-
 _LOSS_REGISTRY: dict[str, Callable] = {}
 
 

@@ -23,7 +23,7 @@ import numpy as np
 from flax import linen as nn
 
 from dualpixelface_tpu.losses import register_loss
-from dualpixelface_tpu.losses.common import loss_weights, prepare_disparity_gt
+from dualpixelface_tpu.losses.common import prepare_disparity_gt
 from dualpixelface_tpu.ops.resample import grid_sample
 
 

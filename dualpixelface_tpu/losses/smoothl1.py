@@ -1,8 +1,6 @@
 """Per-scale masked smooth-L1 disparity loss (ref src/loss/depth/smoothL1.py:9-49)."""
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from dualpixelface_tpu.losses import register_loss
 from dualpixelface_tpu.losses.common import loss_weights, masked_mean, prepare_disparity_gt, smooth_l1
 

@@ -10,7 +10,6 @@ This is the FLOPs-dominant stage (SURVEY.md §3.5 #1); channels-last NDHWC
 """
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from dualpixelface_tpu.ops.blocks import ConvBN3D, TConvBN3D, he_normal_out

@@ -13,7 +13,7 @@ All modules take a `dtype` for bf16 activation compute with fp32 params.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
