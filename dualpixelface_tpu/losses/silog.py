@@ -25,8 +25,13 @@ class SilogLoss:
 
         loss = 0.0
         m = None if mask is None else mask.astype(pred_.dtype)
+        # neutralize out-of-mask pixels BEFORE the log: the reference indexes
+        # pred[mask]/gt[mask] so log never sees the zero-filled invalid region
+        # (silog.py:44-46); with weighted means, log(0) * 0 would be NaN.
+        gt_safe = gt if m is None else jnp.where(m > 0, gt, 1.0)
         for i in range(num_pred):
-            d = weights[i] * (jnp.log(pred_[:, i]) - jnp.log(gt))
+            p_safe = pred_[:, i] if m is None else jnp.where(m > 0, pred_[:, i], 1.0)
+            d = weights[i] * (jnp.log(p_safe) - jnp.log(gt_safe))
             mean_d2 = masked_mean(d * d, m)
             mean_d = masked_mean(d, m)
             loss = loss + jnp.sqrt(mean_d2 - self.variance_focus * mean_d**2) * 10.0
