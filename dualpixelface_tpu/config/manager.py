@@ -149,6 +149,25 @@ class Configuration:
                 if aug in preset:
                     self.data[aug] = preset[aug]
 
+    def option_check(self, value, options=None):
+        """Validation hook (ref config_manager.py:39-41 — present there but
+        unused; functional here)."""
+        error_handler(value in (options or ()), f"option_check failed: {value}", __name__, True)
+
+    def range_check(self, value, min=None, max=None):
+        """Validation hook (ref config_manager.py:43-46)."""
+        if min is not None:
+            error_handler(value >= min, "range_check failed", __name__, True)
+        if max is not None:
+            error_handler(value <= max, "range_check failed", __name__, True)
+
+    def validate(self):
+        """Minimal semantic validation of the merged config."""
+        self.option_check(self.data.get("mode"), ("train", "test", "demo"))
+        self.option_check(self.data.get("optim"), ("adam", "sgd", "rmsprop"))
+        self.range_check(self.data.get("batch_size", 1), min=1)
+        self.range_check(self.data.get("init_lr", 1e-4), min=0.0)
+
     def update(self, config: dict | None):
         if config is not None:
             self.data.update(config)

@@ -53,8 +53,19 @@ class Trainer:
         self.eval_step = make_eval_step(self.model, compute_dtype)
         self.state = None
         self._log_file = None
+        self._tb = None
         if getattr(option, "output_path", None):
             self._log_file = Path(option.output_path) / "metrics.jsonl"
+        # TensorBoard channel (ref main.py:31-33 TensorBoardLogger) when
+        # tensorboardX is available; JSONL + stdout remain the primary sinks
+        if getattr(option, "logger_path", None):
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._tb = SummaryWriter(option.logger_path)
+            except ImportError:
+                self._tb = None
+        self._tb_step = 0
 
     # ---------- setup ----------
 
@@ -85,6 +96,13 @@ class Trainer:
         if self._log_file is not None:
             with open(self._log_file, "a") as f:
                 f.write(json.dumps(record) + "\n")
+        if self._tb is not None:
+            tag = record.get("mode", "train")
+            for k, v in record.items():
+                if isinstance(v, float):
+                    self._tb.add_scalar(f"{tag}/{k}", v, self._tb_step)
+            self._tb.flush()
+            self._tb_step += 1
 
     # ---------- loops ----------
 
