@@ -69,16 +69,12 @@ class Trainer:
 
     # ---------- setup ----------
 
-    def _pipeline(self, training: bool) -> DataPipeline:
+    def _pipeline(self, training: bool):
+        from dualpixelface_tpu.data.grain_pipeline import make_pipeline
+
         dataset = loader_selector(self.opt, training)
-        return DataPipeline(
-            dataset,
-            batch_size=self.opt.batch_size,
-            shuffle=training,
-            seed=1,  # seed_everything(1) parity (ref main.py:25)
-            num_workers=self.opt.workers,
-            drop_last=training,
-        )
+        # seed=1: seed_everything(1) parity (ref main.py:25)
+        return make_pipeline(self.opt, dataset, training, seed=1)
 
     def init_state(self, sample_batch: dict, steps_per_epoch: int):
         self.state = create_train_state(

@@ -25,7 +25,9 @@ def main():
     from dualpixelface_tpu.config import Configuration
     from dualpixelface_tpu.train import Trainer
 
-    opt = Configuration(args.config, args.workspace, args.load_model).get_config()
+    configuration = Configuration(args.config, args.workspace, args.load_model)
+    configuration.validate()
+    opt = configuration.get_config()
 
     # seed_everything(1) parity (ref main.py:25); JAX PRNG keys are seeded
     # explicitly inside the trainer/pipeline.
