@@ -23,6 +23,19 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
+    """Initialize JAX's multi-host runtime for pod-scale runs (DCN between
+    hosts, ICI within): a thin wrapper over jax.distributed.initialize that
+    no-ops on a single host. Call before any device access."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def get_mesh(devices=None, model_parallel: int = 1) -> Mesh:
     """A ('data', 'model') mesh over the given (default: all) devices."""
     if devices is None:

@@ -20,6 +20,8 @@ def main():
     parser.add_argument("--config", type=str, required=True, help="config name under configs/")
     parser.add_argument("--workspace", type=str, required=True, help="workspace name")
     parser.add_argument("--load_model", type=str, default=None, help="checkpoint to load")
+    parser.add_argument("--profile", action="store_true",
+                        help="wrap the run in a jax profiler trace (written to the workspace log dir)")
     args = parser.parse_args()
 
     from dualpixelface_tpu.config import Configuration
@@ -34,12 +36,16 @@ def main():
     random.seed(1)
     np.random.seed(1)
 
+    from dualpixelface_tpu.utils.profiling import trace
+
     trainer = Trainer(opt)
-    if opt.mode == "train":
-        trainer.fit()
-        trainer.test()
-    else:
-        trainer.test()
+    logdir = opt.get("logger_path") if args.profile else None
+    with trace(logdir):
+        if opt.mode == "train":
+            trainer.fit()
+            trainer.test()
+        else:
+            trainer.test()
 
 
 if __name__ == "__main__":
