@@ -106,6 +106,58 @@ def metrics(prediction: np.ndarray, gt_depth: np.ndarray, gt_depth_conf: np.ndar
     return [float(np.mean(wmae)), float(np.mean(wrmse)), float(np.mean(spearman))]
 
 
+def metrics_jax(prediction, gt_depth, gt_depth_conf, irls_iters: int = 5, epsilon: float = 1e-3):
+    """On-device (jit/vmap) twin of `metrics` — the pure-JAX affine_dp path
+    SURVEY.md §7.2 step 7 calls for. Per-sample IRLS WMAE / WRMSE via the
+    closed-form 2x2 weighted normal equations, Spearman via double argsort.
+    Returns [wmae, wrmse, 1-spearman] averaged over the batch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from dualpixelface_tpu.ops.geometry import _wls_affine
+
+    def one(pred, depth, conf):
+        p = pred.reshape(-1).astype(jnp.float32)
+        d = depth.reshape(-1).astype(jnp.float32)
+        c = conf.reshape(-1).astype(jnp.float32)
+
+        # WMAE: IRLS with soft reweighting 1/max(eps, |r|)
+        def body(_, carry):
+            w, _resid = carry
+            s, t = _wls_affine(p, d, c * w)
+            resid = jnp.abs(p * s + t - d)
+            return 1.0 / jnp.maximum(epsilon, resid), resid
+
+        w0 = jnp.ones_like(c)
+        _, resid = jax.lax.fori_loop(0, irls_iters, body, (w0, jnp.zeros_like(c)))
+        wmae = jnp.sum(c * resid) / jnp.sum(c)
+
+        # WRMSE: single weighted fit
+        s, t = _wls_affine(p, d, c)
+        resid_sq = jnp.minimum((p * s + t - d) ** 2, jnp.finfo(jnp.float32).max)
+        wrmse = jnp.sqrt(jnp.sum(c * resid_sq) / jnp.sum(c))
+
+        # Spearman: double-argsort ranks rescaled to [-1, 1]
+        n = p.shape[0]
+        rank = lambda z: jnp.argsort(jnp.argsort(z))
+        resc = lambda r: (r - n // 2).astype(jnp.float32) / float(n // 2)
+
+        def pearson(x, y, w):
+            ws = jnp.sum(w)
+            e = lambda z: jnp.sum(w * z) / ws
+            mx, my = e(x), e(y)
+            cov = e(x * y) - mx * my
+            return cov / jnp.sqrt((e(x * x) - mx**2) * (e(y * y) - my**2))
+
+        xr, xrn, yr = resc(rank(p)), resc(rank(-p)), resc(rank(d))
+        rho = jnp.maximum(pearson(xr, yr, c), pearson(xrn, yr, c))
+        return jnp.stack([wmae, wrmse, 1.0 - rho])
+
+    out = jax.vmap(one)(prediction, gt_depth, gt_depth_conf)  # [B, 3]
+    return jnp.mean(out, axis=0)
+
+
 @register_metric("affine_dp")
 class AffineDPBenchmark(Benchmark):
     keys = ("wmae", "wrmse", "spearman")
