@@ -119,4 +119,13 @@ def make_pipeline(option, dataset, training: bool, seed: int = 1):
         return GrainPipeline(dataset, **kwargs)
     from dualpixelface_tpu.data.pipeline import DataPipeline
 
-    return DataPipeline(dataset, **kwargs)
+    # per-process shard selection for multi-host pods (the thread-pipeline
+    # twin of grain's ShardByJaxProcess)
+    import jax
+
+    return DataPipeline(
+        dataset,
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count(),
+        **kwargs,
+    )

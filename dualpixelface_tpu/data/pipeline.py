@@ -50,6 +50,8 @@ class DataPipeline:
         num_workers: int = 4,
         drop_last: bool = False,
         prefetch: int = 2,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -59,12 +61,20 @@ class DataPipeline:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.epoch = 0
+        # multi-host sharding: each jax process reads a disjoint strided
+        # slice of the (seed, epoch)-deterministic global order — the
+        # DistributedSampler semantics the reference gets from PL DDP.
+        # All hosts share the same permutation (same seed), so shards are
+        # disjoint by construction.
+        assert 0 <= shard_index < shard_count, (shard_index, shard_count)
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self._order())
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -72,8 +82,12 @@ class DataPipeline:
     def _order(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
-            return np.random.default_rng((self.seed, self.epoch)).permutation(n)
-        return np.arange(n)
+            order = np.random.default_rng((self.seed, self.epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        if self.shard_count > 1:
+            order = order[self.shard_index :: self.shard_count]
+        return order
 
     def _get(self, index: int) -> dict:
         rng = np.random.default_rng((self.seed, self.epoch, int(index)))

@@ -86,8 +86,14 @@ class ANM(nn.Module):
         # submodules created ONCE and shared across the costs loop, exactly as
         # the reference shares self.deform_conv*/n_convs (normal_module.py:44-66)
         if opt.use_deform:
-            deform1 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2, name="deform_conv1")
-            deform2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2, name="deform_conv2")
+            # deform_impl: 'pallas' (default) = windowed-aperture Mosaic
+            # kernel (docs/PERFORMANCE.md); 'packed8' = unbounded XLA gather
+            # matching the reference's sampling semantics exactly
+            dimpl = opt.get("deform_impl", "pallas")
+            deform1 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
+                                       impl=dimpl, name="deform_conv1")
+            deform2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
+                                       impl=dimpl, name="deform_conv2")
             act1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act1")
             act2 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act2")
         else:

@@ -42,6 +42,7 @@ def deform_conv3d(
     padding: int | Sequence[int] = 1,
     dilation: int | Sequence[int] = 1,
     impl: str = "packed8",
+    aperture: bool = False,
 ) -> jnp.ndarray:
     """Deformable 3-D convolution, channels-last.
 
@@ -58,12 +59,18 @@ def deform_conv3d(
                    formulation. TPU gathers are index-bound, so index packing
                    is a measured 145 -> 56 -> 32 ms progression at ANM scale
                    (docs/PERFORMANCE.md). All three are tested equivalent.
+    :param aperture: clamp sampling positions to +-AP voxels around the
+                   output voxel along H/W (the Pallas kernel's windowed
+                   semantics, kernels/deform_gather.py) — used as the exact
+                   XLA twin for its VJP and its oracle in tests
     :return:       [B, Do, Ho, Wo, Cout]
     """
+    if impl == "pallas":
+        return _deform_conv3d_pallas_vjp(x, offset, weight, bias)
     if impl in ("packed", "packed8"):
         return _deform_conv3d_packed(
             x, offset, weight, bias, stride, padding, dilation,
-            pack_depth=(impl == "packed8"),
+            pack_depth=(impl == "packed8"), aperture=aperture,
         )
     assert impl == "simple", impl
     st = _triple(stride)
@@ -143,7 +150,8 @@ def deform_conv3d(
     return out.reshape(b, do, ho, wo, cout)
 
 
-def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation, pack_depth=False):
+def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
+                          pack_depth=False, aperture=False):
     """Corner-packed gather formulation (same math as 'simple').
 
     TPU gathers are index-bound, not byte-bound (docs/PERFORMANCE.md): the
@@ -175,6 +183,13 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation, pa
     pos_d = base_d[None] + off[..., 0]
     pos_h = base_h[None] + off[..., 1]
     pos_w = base_w[None] + off[..., 2]
+    if aperture:
+        from dualpixelface_tpu.ops.kernels.deform_gather import clamp_positions
+
+        out_h = yy.reshape(1, -1, 1).astype(f32)
+        out_w = xx.reshape(1, -1, 1).astype(f32)
+        pos_h = clamp_positions(pos_h, out_h)
+        pos_w = clamp_positions(pos_w, out_w)
     d0 = jnp.floor(pos_d)
     h0 = jnp.floor(pos_h)
     w0 = jnp.floor(pos_w)
@@ -262,6 +277,53 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation, pa
     return out.reshape(b, do, ho, wo, cout)
 
 
+def _windowed_xla(x, offset, weight, bias):
+    """XLA twin of the Pallas windowed kernel: packed8 gather with the
+    identical aperture clamp — used for the kernel's VJP and as its oracle."""
+    return _deform_conv3d_packed(
+        x, offset, weight, bias, 1, 1, 1, pack_depth=True, aperture=True
+    )
+
+
+def _on_tpu() -> bool:
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+@jax.custom_vjp
+def _deform_conv3d_pallas_vjp(x, offset, weight, bias):
+    if not _on_tpu():
+        # identical windowed math without Mosaic (CPU tests / dryrun): the
+        # kernel-vs-twin equivalence itself is covered by interpret-mode
+        # tests (tests/test_deform_gather_pallas.py)
+        return _windowed_xla(x, offset, weight, bias)
+    from dualpixelface_tpu.ops.kernels.deform_gather import deform_conv3d_pallas
+
+    return deform_conv3d_pallas(x, offset, weight, bias)
+
+
+def _pallas_fwd(x, offset, weight, bias):
+    return _deform_conv3d_pallas_vjp(x, offset, weight, bias), (x, offset, weight, bias)
+
+
+def _pallas_bwd(res, g):
+    # backward through the XLA twin (same clamped positions, so the three
+    # reference gradients — input/offset/weight, deform_conv_cuda.cu:221-280 —
+    # are exact for the windowed op); the forward itself never re-runs
+    x, offset, weight, bias = res
+    has_bias = bias is not None
+    if has_bias:
+        _, vjp = jax.vjp(_windowed_xla, x, offset, weight, bias)
+        return vjp(g)
+    _, vjp = jax.vjp(lambda x_, o_, w_: _windowed_xla(x_, o_, w_, None), x, offset, weight)
+    return (*vjp(g), None)
+
+
+_deform_conv3d_pallas_vjp.defvjp(_pallas_fwd, _pallas_bwd)
+
+
 def _torch_kaiming_uniform(key, shape, dtype=jnp.float32):
     """torch Conv default init: kaiming_uniform_(a=sqrt(5)) ==
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (ref deform_conv.py:44-50)."""
@@ -285,6 +347,7 @@ class DeformConvPack3D(nn.Module):
     padding: int = 1
     maxsize: float | None = None
     use_bias: bool = True
+    impl: str = "pallas"
 
     @nn.compact
     def __call__(self, x):
@@ -315,6 +378,17 @@ class DeformConvPack3D(nn.Module):
         else:
             bias = None
 
+        # The Pallas windowed kernel (4-7x the XLA gather, measured in
+        # docs/PERFORMANCE.md) requires the ANM geometry: 3x3x3, stride 1,
+        # pad 1, D<=4, fp32/bf16 input. Anything else falls back to the
+        # unbounded XLA formulation.
+        impl = self.impl
+        if impl == "pallas" and not (
+            ks == (3, 3, 3) and self.stride == 1 and self.padding == 1
+            and x.shape[1] <= 4
+        ):
+            impl = "packed8"
+
         # Rematerialize in the backward pass: without this, AD saves every
         # corner's gathered/weighted tensor as residuals (8 x ~[B, Cin, N*K]
         # — an OOM at training scale on 16 GB chips); with it the backward
@@ -322,7 +396,7 @@ class DeformConvPack3D(nn.Module):
         # SURVEY.md: jax.checkpoint to trade FLOPs for HBM).
         deform = jax.checkpoint(
             lambda x_, o_, w_, b_: deform_conv3d(
-                x_, o_, w_, b_, stride=self.stride, padding=self.padding
+                x_, o_, w_, b_, stride=self.stride, padding=self.padding, impl=impl
             )
         )
         out = deform(x, offset, weight, bias)

@@ -41,6 +41,19 @@ class Trainer:
 
             devices = jax.devices()
             use = math.gcd(int(option.batch_size), len(devices))
+            if use < len(devices):
+                # Matches the reference's DP semantics (torch DataParallel
+                # idles GPUs beyond the batch size, ref main.py:49) — but say
+                # so LOUDLY instead of silently shrinking the mesh.
+                import warnings
+
+                warnings.warn(
+                    f"batch_size={int(option.batch_size)} does not divide the "
+                    f"{len(devices)}-device mesh; using only {use} device(s). "
+                    f"Set batch_size to a multiple of {len(devices)} to use "
+                    f"every chip.",
+                    stacklevel=2,
+                )
             mesh = get_mesh(devices[:use])
         self.mesh = mesh
         self.model = model_selector(option)

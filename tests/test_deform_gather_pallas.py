@@ -1,0 +1,112 @@
+"""Pallas windowed deform-conv kernel vs its XLA twin (oracle) + gradients.
+
+The kernel's reference anchor is the dcn3d CUDA im2col
+(`/root/reference/src/module/dcn3d/src/cuda/deform_im2col_cuda.cuh:193-265`)
+with a bounded sampling aperture (docs/PERFORMANCE.md). The XLA twin
+`_windowed_xla` is itself oracle-tested against the unbounded formulation
+when offsets stay inside the aperture (test_aperture_matches_unbounded).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dualpixelface_tpu.ops.deform_conv3d import (
+    DeformConvPack3D,
+    _windowed_xla,
+    deform_conv3d,
+)
+from dualpixelface_tpu.ops.kernels.deform_gather import AP, deform_conv3d_pallas
+
+
+def _rand(shape, scale=1.0, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape) * scale, jnp.float32
+    )
+
+
+@pytest.mark.parametrize(
+    "b,d,h,w,c,co,scale",
+    [
+        (1, 4, 8, 8, 5, 7, 0.5),
+        (2, 4, 6, 20, 35, 16, 2.0),
+        (1, 3, 8, 11, 5, 6, 8.0),  # D<4, ragged W, aggressive clamping
+        (1, 4, 8, 16, 64, 8, 1.5),  # two channel chunks
+    ],
+)
+def test_pallas_kernel_matches_twin(b, d, h, w, c, co, scale):
+    x = _rand((b, d, h, w, c), seed=1)
+    off = _rand((b, d, h, w, 81), scale, seed=2)
+    wt = _rand((3, 3, 3, c, co), 0.1, seed=3)
+    bias = _rand((co,), seed=4)
+
+    ref = _windowed_xla(x, off, wt, bias)
+    got = deform_conv3d_pallas(x, off, wt, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_aperture_matches_unbounded_for_small_offsets():
+    """With |offset| < AP - 1 the clamp is inert: the windowed op equals the
+    unbounded reference formulation exactly."""
+    x = _rand((1, 4, 8, 10, 6), seed=5)
+    # |off| + |tap-1| < AP strictly (clip the gaussian tails)
+    off = jnp.clip(_rand((1, 4, 8, 10, 81), 0.6, seed=6), -(AP - 1.01), AP - 1.01)
+    wt = _rand((3, 3, 3, 6, 4), 0.2, seed=7)
+
+    unbounded = deform_conv3d(x, off, wt, None, impl="packed8")
+    windowed = _windowed_xla(x, off, wt, None)
+    np.testing.assert_allclose(
+        np.asarray(windowed), np.asarray(unbounded), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_clamping_is_active_and_bounded():
+    """Huge offsets: the windowed op behaves as if positions sit at the
+    aperture edge — finite, and equal to the twin with pre-clamped offsets."""
+    x = _rand((1, 4, 6, 8, 5), seed=8)
+    off = _rand((1, 4, 6, 8, 81), 50.0, seed=9)
+    wt = _rand((3, 3, 3, 5, 4), 0.2, seed=10)
+
+    out = deform_conv3d_pallas(x, off, wt, None, interpret=True)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    ref = _windowed_xla(x, off, wt, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # clamped result differs from unbounded (sanity that the test is not vacuous)
+    unbounded = deform_conv3d(x, off, wt, None, impl="packed8")
+    assert float(jnp.max(jnp.abs(unbounded - out))) > 1e-3
+
+
+def test_custom_vjp_gradients_match_twin():
+    """grad of impl='pallas' == grad of the XLA twin for x, offset, weight."""
+    x = _rand((1, 4, 6, 8, 5), seed=11)
+    off = _rand((1, 4, 6, 8, 81), 1.5, seed=12)
+    wt = _rand((3, 3, 3, 5, 4), 0.2, seed=13)
+    bias = _rand((4,), seed=14)
+    cot = _rand((1, 4, 6, 8, 4), seed=15)
+
+    def loss_pallas(x_, o_, w_, b_):
+        return jnp.sum(deform_conv3d(x_, o_, w_, b_, impl="pallas") * cot)
+
+    def loss_twin(x_, o_, w_, b_):
+        return jnp.sum(_windowed_xla(x_, o_, w_, b_) * cot)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(x, off, wt, bias)
+    g2 = jax.grad(loss_twin, argnums=(0, 1, 2, 3))(x, off, wt, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-5)
+
+
+def test_deform_conv_pack3d_pallas_impl():
+    """Module-level wiring: impl='pallas' produces (out, offset) with the
+    same shapes/values as the windowed twin at zero-init offsets."""
+    x = _rand((1, 4, 8, 8, 5), seed=16)
+    mod_p = DeformConvPack3D(6, (3, 3, 3), 1, 1, impl="pallas")
+    mod_x = DeformConvPack3D(6, (3, 3, 3), 1, 1, impl="packed8")
+    var = mod_p.init(jax.random.PRNGKey(0), x)
+    out_p, off_p = mod_p.apply(var, x)
+    out_x, off_x = mod_x.apply(var, x)
+    # offsets are zero at init -> aperture inert -> identical outputs
+    np.testing.assert_allclose(np.asarray(off_p), np.asarray(off_x))
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-5, atol=2e-5
+    )

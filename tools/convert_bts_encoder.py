@@ -16,6 +16,11 @@ validates both the mapping and the Flax re-implementation.
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import numpy as np

@@ -17,6 +17,11 @@ torch-forwardable submodules — that outputs agree after transfer.
 """
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 import re
 
