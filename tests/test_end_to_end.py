@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from dualpixelface_tpu.config import Configuration
 from dualpixelface_tpu.data.loader_selector import loader_selector
 from dualpixelface_tpu.data.pipeline import DataPipeline, numeric_batch

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from tests.test_end_to_end import tiny_option
 from tests.test_stereodpnet import make_batch
 

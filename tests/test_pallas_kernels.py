@@ -1,4 +1,5 @@
 """Pallas kernels vs their pure-JAX reference paths (interpret mode on CPU)."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,6 +26,7 @@ def test_fused_softargmin_matches_reference():
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stereodpnet_fused_regression_matches_unfused():
     """Same params, fused vs unfused regression -> identical disparities."""
     import jax

@@ -13,7 +13,10 @@ import numpy as np
 import pytest
 
 REF = Path("/root/reference")
-pytestmark = pytest.mark.skipif(not REF.exists(), reason="reference checkout not mounted")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not REF.exists(), reason="reference checkout not mounted"),
+]
 
 torch = pytest.importorskip("torch")
 

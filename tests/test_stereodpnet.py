@@ -66,6 +66,7 @@ def test_train_shapes_and_loss(sdp_setup):
     assert "smoothL1_loss" in losses and "cosine_loss" in losses
 
 
+@pytest.mark.slow
 def test_gradients_reach_all_params(sdp_setup):
     from dualpixelface_tpu.losses import loss_selector
 

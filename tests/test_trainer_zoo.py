@@ -7,6 +7,8 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 def _make_opt(tmp_path, model_name, **model_over):
     from dualpixelface_tpu.config import Configuration
