@@ -135,7 +135,15 @@ class ASMCostVolume(nn.Module):
     def __call__(self, ref_feat, tar_feat, train: bool = False):
         opt = self.option.model
         disps = tuple(make_costrange(self.mindisp, self.maxdisp, opt.level).tolist())
-        modes = dict(nearest=opt.nearest, bilinear=opt.bilinear, phase=opt.phase)
+        modes = dict(nearest=opt.nearest, bilinear=opt.bilinear, phase=opt.phase,
+                     compat_nearest=bool(opt.get("compat_nearest", False)))
+        if opt.get("compat_frozen_shift_grid", False):
+            # Reference bug reproduction (needed for checkpoint parity): the
+            # reference caches its sampling grid per DIRECTION on first call
+            # and never rebuilds it for later disparities (ref asm.py:28-31),
+            # so every cost-volume plane is shifted by costrange[0]. Our
+            # default is the per-plane shift the paper describes.
+            disps = (disps[0],) * len(disps)
 
         fwd = subpixel_shift_planes(ref_feat, disps, "forward", **modes)
         bwd = subpixel_shift_planes(tar_feat, disps, "backward", **modes)

@@ -59,6 +59,41 @@ def shift_h_nearest(x: jnp.ndarray, delta: float, axis: int = 1) -> jnp.ndarray:
     return shift_h_static(x, int(np.round(delta)), axis)
 
 
+def _compat_nearest_index(n: int, delta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Reference-exact nearest sampling index along one axis.
+
+    The reference builds an align-corners-normalized grid
+    (asm.py:39-41, v/(n-1)*2-1) but samples it through grid_sample's
+    default align_corners=False, so the source position is
+    (i + delta) * n / (n - 1) - 0.5 — a sub-pixel STRETCH, not a uniform
+    shift (it even zeroes the last row/column for even n). np.round is
+    half-to-even, matching grid_sample's nearbyint.
+    """
+    pos = (np.arange(n) + delta) * n / (n - 1) - 0.5
+    idx = np.round(pos).astype(np.int64)
+    valid = (idx >= 0) & (idx <= n - 1)
+    return np.clip(idx, 0, n - 1), valid
+
+
+def shift_h_nearest_compat(x: jnp.ndarray, delta: float, axis: int = 1) -> jnp.ndarray:
+    """Bit-compatible twin of the reference's nearest branch: the H axis gets
+    the (stretched) +delta map and the W axis (axis+1) the delta=0 map —
+    both remapped, exactly as grid_sample sees the full 2-D grid."""
+    h, w = x.shape[axis], x.shape[axis + 1]
+    idx_h, ok_h = _compat_nearest_index(h, delta)
+    idx_w, ok_w = _compat_nearest_index(w, 0.0)
+    out = jnp.take(x, jnp.asarray(idx_h), axis=axis)
+    out = jnp.take(out, jnp.asarray(idx_w), axis=axis + 1)
+    shape_h = [1] * x.ndim
+    shape_h[axis] = h
+    shape_w = [1] * x.ndim
+    shape_w[axis + 1] = w
+    mask = jnp.asarray(ok_h, x.dtype).reshape(shape_h) * jnp.asarray(
+        ok_w, x.dtype
+    ).reshape(shape_w)
+    return out * mask
+
+
 def shift_h_bilinear(x: jnp.ndarray, delta: float, axis: int = 1) -> jnp.ndarray:
     """Bilinear fractional shift along `axis` with zero padding.
 
@@ -103,18 +138,22 @@ def subpixel_shift_planes(
     nearest: bool = True,
     bilinear: bool = True,
     phase: bool = True,
+    compat_nearest: bool = False,
 ) -> jnp.ndarray:
     """Shift `feat` [B, H, W, C] by every disparity in `disps` along H, in up
     to three modes simultaneously (ref asm.py:87-127).
 
     Returns [B, D, M, H, W, C] with M = number of enabled modes, ordered
     (nearest, bilinear, phase) as in the reference's dstfeats list.
+    `compat_nearest` reproduces the reference's align-corners-mismatched
+    nearest grid bit-for-bit (needed for checkpoint-level parity).
     """
     sign = 1.0 if direction == "forward" else -1.0
+    shift_nearest = shift_h_nearest_compat if compat_nearest else shift_h_nearest
     planes_by_mode = []
     if nearest:
         planes_by_mode.append(
-            jnp.stack([shift_h_nearest(feat, sign * d) for d in disps], axis=1)
+            jnp.stack([shift_nearest(feat, sign * d) for d in disps], axis=1)
         )
     if bilinear:
         planes_by_mode.append(

@@ -393,11 +393,15 @@ class DeformConvPack3D(nn.Module):
         # corner's gathered/weighted tensor as residuals (8 x ~[B, Cin, N*K]
         # — an OOM at training scale on 16 GB chips); with it the backward
         # recomputes the cheap gathers instead (the standard TPU trade,
-        # SURVEY.md: jax.checkpoint to trade FLOPs for HBM).
-        deform = jax.checkpoint(
-            lambda x_, o_, w_, b_: deform_conv3d(
+        # SURVEY.md: jax.checkpoint to trade FLOPs for HBM). The pallas impl
+        # needs no remat: its custom_vjp saves only the raw inputs and the
+        # backward recomputes from scratch (remat of a custom_vjp also fails
+        # to linearize in jax 0.9).
+        def call(x_, o_, w_, b_):
+            return deform_conv3d(
                 x_, o_, w_, b_, stride=self.stride, padding=self.padding, impl=impl
             )
-        )
+
+        deform = call if impl == "pallas" else jax.checkpoint(call)
         out = deform(x, offset, weight, bias)
         return out, offset

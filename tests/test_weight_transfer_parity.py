@@ -367,3 +367,135 @@ def test_stereonet_feature_extraction_parity():
     with torch.no_grad():
         out_t = tfe(nchw(x))
     np.testing.assert_allclose(np.asarray(out_f), nhwc(out_t), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# FULL-MODEL forward parity: the complete reference STEREODPNET.forward chain
+# (ref src/model/stereodpnet/mainmodel.py:67-111 — feature extraction of both
+# views, ASM cost volume, 3-hourglass aggregation, soft-argmin regression,
+# ANM normal branch) vs our whole STEREODPNET.apply with converted weights.
+# torch CPU => use_deform=false fallback (the CUDA dcn3d stub raises on CPU,
+# ref src/module/dcn3d/cpu/deform_cpu.cpp:28); compat_nearest reproduces the
+# reference's align-corners-mismatched nearest ASM grid bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+def test_full_stereodpnet_forward_parity():
+    import torch.nn as nn
+
+    from tests.test_stereodpnet_converter import O, _install_shims
+    from tests.test_stereodpnet import make_batch
+
+    _install_shims()
+    # the reference ASM/ANM build grids with unconditional .cuda() calls
+    # (ref asm.py:32-49, normal_module.py:80-118); neutralize on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    # torch-1.5 fft API (ref asm.py:112-125) on modern torch
+    if not hasattr(torch, "rfft"):
+        def _rfft(x, ndim, onesided=False):
+            assert ndim == 2 and not onesided
+            y = torch.fft.fft2(x)
+            return torch.stack([y.real, y.imag], dim=-1)
+
+        def _irfft(x, ndim, onesided=False):
+            assert ndim == 2 and not onesided
+            return torch.fft.ifft2(torch.complex(x[..., 0], x[..., 1])).real
+
+        torch.rfft = _rfft
+        torch.irfft = _irfft
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from convert_stereodpnet_checkpoint import convert_stereodpnet_state_dict
+
+    mods = runpy.run_path(str(REF / "src/model/stereodpnet/modules.py"))
+    nmod = runpy.run_path(str(REF / "src/model/stereodpnet/normal_module.py"))
+
+    topt = O(
+        model=dict(
+            input_channel=3, inplanes=32, block_stack=1, level=8,
+            mindisp=-4, maxdisp=12, nearest=True, bilinear=True, phase=True,
+            asm_activation="sigmoid", feature_fetch=False, predict_normal=True,
+            use_sampling=True, use_deform=False, dsample_num=4,
+        ),
+        dataset=dict(flip_lr=False),
+    )
+
+    class Container(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.feature_extraction = mods["feature_extraction"](topt)
+            self.cost_volume = mods["CostVolume"](topt, -4, 12)
+            self.aggregation = mods["PSMNetHGAggregation"](32)
+            self.normal_estimator = nmod["ANM"](topt, -4, 12)
+            self.regression_layer = mods["disp_regression"](-4, 12, 8)
+
+    tm = Container()
+    tm.eval()
+    # non-trivial running stats so eval BN is a real check
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm3d)):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.8, 1.25)
+
+    params, stats, leftover = convert_stereodpnet_state_dict(tm.state_dict(), 1)
+    assert leftover == [], leftover[:10]
+
+    batch_np = make_batch(b=1, h=64, w=64)
+
+    # --- reference forward (the exact mainmodel.py:67-111 sequence,
+    #     flip_lr=False, eval mode) ---
+    def t_img(a):
+        return torch.from_numpy(np.moveaxis(a, -1, 1))
+
+    tb = {
+        "left": t_img(batch_np["left"]),
+        "right": t_img(batch_np["right"]),
+        "K": torch.from_numpy(batch_np["K"]),
+        "abvalue": torch.from_numpy(batch_np["abvalue"]),
+    }
+    with torch.no_grad():
+        ref_fea = tm.feature_extraction(tb["left"])
+        tar_fea = tm.feature_extraction(tb["right"])
+        cost = tm.cost_volume(ref_fea, tar_fea)
+        cost_i, cost = tm.aggregation(cost)
+        cost_f, cost_p = tm.regression_layer(cost_i)
+        normal_results = tm.normal_estimator([cost[0]], [cost_f[0]], tb)
+        pred_depth_t = torch.stack(list(cost_f), 1).numpy()  # n b h w -> b n h w
+        pred_normal_t = np.stack(
+            [np.moveaxis(n.numpy(), 1, -1) for n in normal_results[0]], 1
+        )  # [B, n, H, W, 3]
+
+    # --- our full model with the converted weights ---
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models import model_selector
+
+    cfg = Configuration(
+        "train_synthetic_stereodpnet", make_workspace=False,
+        overrides=dict(batch_size=1),
+    )
+    cfg.data["model"]["use_deform"] = False
+    cfg.data["model"]["compat_nearest"] = True
+    # reproduce the reference's per-direction grid cache, which freezes the
+    # shift at costrange[0] for every plane (ref asm.py:28-31) — see
+    # ASMCostVolume; without this flag we compute the per-plane shifts the
+    # paper describes
+    cfg.data["model"]["compat_frozen_shift_grid"] = True
+    cfg.data["model"]["fused_regression"] = False
+    opt = cfg.get_config()
+    assert not opt.dataset.flip_lr
+    model = model_selector(opt)
+
+    batch = jax.tree_util.tree_map(jnp.asarray, batch_np)
+    results = model.apply(
+        {"params": params, "batch_stats": stats}, batch, train=False
+    )
+
+    pred_depth = np.asarray(results["pred_depth"])  # [B, n, H, W]
+    assert pred_depth.shape == pred_depth_t.shape
+    # measured fp32-reassociation level is ~6e-6 (disparity units on a
+    # [-4, 12] range) — far inside the 0.5% parity budget (BASELINE.md)
+    np.testing.assert_allclose(pred_depth, pred_depth_t, rtol=0, atol=1e-4)
+
+    pred_normal = np.asarray(results["pred_normal"])  # [B, n, H, W, 3]
+    assert pred_normal.shape == pred_normal_t.shape
+    np.testing.assert_allclose(pred_normal, pred_normal_t, rtol=0, atol=1e-4)

@@ -211,6 +211,11 @@ def convert_stereodpnet_state_dict(sd: dict, block_stack: int = 1):
 
     # ANM
     NE, ne = "normal_estimator", "normal_estimator"
+    if f"{NE}.original_conv.0.0.weight" in sd:
+        # use_deform=false fallback: Sequential(convbn_3d, ReLU, convbn_3d,
+        # ReLU) (ref normal_module.py:53-56) -> orig_conv0/orig_conv1
+        _convbn(tree, sd, f"{NE}.original_conv.0", f"{ne}/orig_conv0", consumed)
+        _convbn(tree, sd, f"{NE}.original_conv.2", f"{ne}/orig_conv1", consumed)
     if f"{NE}.deform_conv1.weight" in sd:
         _deform_pack(tree, sd, f"{NE}.deform_conv1", f"{ne}/deform_conv1", consumed)
         _deform_pack(tree, sd, f"{NE}.deform_conv2", f"{ne}/deform_conv2", consumed)
