@@ -37,9 +37,13 @@ class STEREODPNET(nn.Module):
         ref_fea = feature_extraction(ref_img, train)  # [B, H/4, W/4, C]
         tar_fea = feature_extraction(tar_img, train)
 
-        cost = ASMCostVolume(self.option, mindisp, maxdisp, name="cost_volume")(
-            ref_fea, tar_fea, train
-        )  # [B, D, H/4, W/4, 2C]
+        # remat: the ASM attention otherwise saves its [B*D, 3, H/4, W/4, C]
+        # activations per conv for the backward — several GB at the 768x576
+        # train crop; recomputing the cost volume in the backward is cheap
+        # relative to the 3-D aggregation
+        cost = nn.remat(ASMCostVolume, static_argnums=(3,))(
+            self.option, mindisp, maxdisp, name="cost_volume"
+        )(ref_fea, tar_fea, train)  # [B, D, H/4, W/4, 2C]
 
         # Pallas fused path: skip materializing the x64 full-res logit/prob
         # volumes — the kernel reads coarse logits and writes disparity

@@ -145,13 +145,21 @@ class ASMCostVolume(nn.Module):
             # default is the per-plane shift the paper describes.
             disps = (disps[0],) * len(disps)
 
-        fwd = subpixel_shift_planes(ref_feat, disps, "forward", **modes)
-        bwd = subpixel_shift_planes(tar_feat, disps, "backward", **modes)
-
         attention = MaskingAttention(
             features=opt.inplanes, act=opt.asm_activation,
             feature_fetch=opt.feature_fetch, name="attention",
         )
-        vol_ref = attention(fwd, train)  # [B, D, H, W, C]
-        vol_tar = attention(bwd, train)
+        if opt.get("fast_attention", False):
+            # hoisted mask head: the conv chain runs once per feature map and
+            # the shifts are applied to its output (shift seam + norm-stat
+            # deviation documented at MaskingAttention) — D*M x fewer conv
+            # FLOPs, the dominant ASM cost at full resolution
+            sf = lambda dir_: (lambda t: subpixel_shift_planes(t, disps, dir_, **modes))
+            vol_ref = attention(ref_feat, train, shift_fn=sf("forward"))
+            vol_tar = attention(tar_feat, train, shift_fn=sf("backward"))
+        else:
+            fwd = subpixel_shift_planes(ref_feat, disps, "forward", **modes)
+            bwd = subpixel_shift_planes(tar_feat, disps, "backward", **modes)
+            vol_ref = attention(fwd, train)  # [B, D, H, W, C]
+            vol_tar = attention(bwd, train)
         return jnp.concatenate([vol_ref, vol_tar], axis=-1)

@@ -13,10 +13,11 @@ two grid_samples and a full FFT/iFFT pair *per plane per direction*
     (costrange is derived from static config), so each plane is a static
     slice-and-pad — no gather, no grid_sample; XLA fuses the D plane shifts
     into the downstream concat.
-  * phase (Fourier) shift: ONE forward FFT along H per feature map, a
-    broadcast multiply with a [D, H] phase-ramp matrix (the column shift is
-    always 0, ref asm.py:64, so the 2-D FFT of the reference reduces exactly
-    to a 1-D FFT along H), and one batched inverse FFT for all D planes.
+  * phase (Fourier) shift: the column shift is always 0 (ref asm.py:64), so
+    the reference's 2-D rfft/phase/irfft chain reduces to a 1-D operator
+    along H — and since every delta is static, the whole chain constant-
+    folds into ONE real [D, H, H] matrix applied as a single MXU matmul
+    (phase_shift_multi).
 
 Deviation (documented): the reference's 'nearest' branch samples a grid built
 with align-corners normalization through grid_sample's default
@@ -109,25 +110,35 @@ def shift_h_bilinear(x: jnp.ndarray, delta: float, axis: int = 1) -> jnp.ndarray
     return out
 
 
+def phase_shift_matrix(h: int, deltas: Sequence[float]) -> np.ndarray:
+    """[D, H, H] real operator of the circular Fourier shift: for static
+    deltas, IDFT . diag(exp(2i*pi*delta*Nr/H)) . DFT collapses to one real
+    matrix — the whole rfft/phase/irfft chain becomes a single MXU matmul."""
+    freqs = np.fft.fftfreq(h) * h  # integer frequency grid Nr (ref asm.py:67)
+    deltas = np.asarray(list(deltas), dtype=np.float64)
+    dft = np.fft.fft(np.eye(h))          # [H, H]
+    idft = np.conj(dft).T / h
+    phase = np.exp(2j * np.pi * (deltas[:, None] / h) * freqs[None, :])  # [D, H]
+    mats = np.einsum("yk,dk,kx->dyx", idft, phase, dft)
+    return np.ascontiguousarray(mats.real.astype(np.float32))
+
+
 def phase_shift_multi(x: jnp.ndarray, deltas: Sequence[float], axis: int = 1) -> jnp.ndarray:
     """Fourier (circular) sub-pixel shift for ALL deltas at once.
 
     x: [B, H, W, C]; returns [B, D, H, W, C] where out[:, i, y] = x[y + deltas[i]]
-    (circular). Matches the reference's rfft-phase-irfft chain (asm.py:104-125):
-    F -> F * exp(+i*2*pi*delta*Nr/H) -> real(iF).
+    (circular). Matches the reference's rfft-phase-irfft chain (asm.py:104-125)
+    exactly — but as ONE [D, H, H] x [B, H, WC] matmul on the MXU instead of
+    an FFT/iFFT pair (measured 10.6 -> ~0.3 ms at 4x192x144x32; the shift
+    operator is static, so the DFTs constant-fold into a real matrix).
     """
-    h = x.shape[axis]
-    freqs = np.fft.fftfreq(h) * h  # integer frequency grid Nr (ref asm.py:67)
-    deltas = np.asarray(list(deltas), dtype=np.float64)
-    # [D, H] complex phase ramp
-    phase = np.exp(2j * np.pi * (deltas[:, None] / h) * freqs[None, :])
-
-    fx = jnp.fft.fft(x.astype(jnp.float32), axis=axis)  # [B, H, W, C] complex
-    fx = jnp.expand_dims(fx, 1)  # [B, 1, H, W, C]
-    shape = [1, len(deltas), 1, 1, 1]
-    shape[axis + 1] = h
-    ramp = jnp.asarray(phase.reshape([len(deltas), h]).reshape(shape))
-    out = jnp.fft.ifft(fx * ramp, axis=axis + 1).real
+    assert axis == 1, "phase shift operates on the H axis of [B, H, W, C]"
+    b, h, w, c = x.shape
+    mats = jnp.asarray(phase_shift_matrix(h, deltas))  # [D, H, H]
+    out = jnp.einsum(
+        "dyh,bhwc->bdywc", mats, x.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
     return out.astype(x.dtype)
 
 
@@ -180,12 +191,36 @@ class MaskingAttention(nn.Module):
     features: int
     act: str = "sigmoid"
     feature_fetch: bool = False
-    dtype = jnp.float32
+    # None = follow the input dtype (bf16 under the training policy — halves
+    # the [B*D, M, H, W, C] elementwise traffic); fp32 inputs stay exact
+    dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        b, d, m, h, w, c = x.shape
-        y = x.reshape(b * d, m, h, w, c)
+    def __call__(self, x, train: bool = False, shift_fn=None):
+        """Exact mode (shift_fn=None): x = [B, D, M, H, W, C] pre-shifted
+        planes, the conv head runs on every (plane, mode) — the reference
+        semantics.
+
+        Fast mode (shift_fn given): x = the UNSHIFTED feature map
+        [B, H, W, C]; the conv head runs ONCE and the shifts are applied to
+        its output — valid because each mode's sub-pixel shift is a
+        translation that commutes with the (shared-weight, per-mode)
+        convolution; deviation is confined to rows within the kernel radius
+        of the shift seam (+ the InstanceNorm/train-BN statistics).
+        D*M x fewer conv FLOPs (the dominant ASM cost, docs/PERFORMANCE.md).
+        Parameter tree is identical in both modes.
+        """
+        # resolve the compute dtype explicitly: flax norm layers with
+        # dtype=None promote to f32 (the f32 params win the promotion), which
+        # would double the [B*D, M, H, W, C] traffic under the bf16 policy
+        dt = self.dtype if self.dtype is not None else x.dtype
+
+        if shift_fn is None:
+            b, d, m, h, w, c = x.shape
+            y = x.reshape(b * d, m, h, w, c)
+            head_in = y
+        else:
+            head_in = x[:, None]  # [B, 1(mode), H, W, C]
 
         mask = nn.Conv(
             self.features,
@@ -193,17 +228,24 @@ class MaskingAttention(nn.Module):
             padding=[(0, 0), (1, 1), (1, 1)],
             use_bias=False,
             kernel_init=he_normal_out,
-            dtype=self.dtype,
-        )(y)
+            dtype=dt,
+        )(head_in)
         mask = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
         )(mask)
         mask = nn.relu(mask)
         mask = nn.Conv(
             self.features, kernel_size=(1, 1, 1), use_bias=False,
-            kernel_init=he_normal_out, dtype=self.dtype,
+            kernel_init=he_normal_out, dtype=dt,
         )(mask)
-        mask = InstanceNorm(dtype=self.dtype)(mask)
+
+        if shift_fn is not None:
+            planes = shift_fn(x)  # [B, D, M, H, W, C]
+            b, d, m, h, w, c = planes.shape
+            y = planes.reshape(b * d, m, h, w, c)
+            mask = shift_fn(mask[:, 0]).reshape(b * d, m, h, w, c)
+
+        mask = InstanceNorm(dtype=dt)(mask)
 
         if self.act == "relu":
             mask = PReLU(init=0.05)(mask)

@@ -67,8 +67,50 @@ class ConvBN(nn.Module):
         return x
 
 
+class _BandedConv3D(nn.Module):
+    """Param-compatible stand-in for nn.Conv(3x3x3, stride 1, pad 1) that
+    computes the 3-D conv as ONE dense 2-D conv over D-folded channels.
+
+    XLA's TPU 3-D conv runs at single-digit MFU for the cost-volume channel
+    widths (C=32: 9 TF/s measured) because lanes pad to 128; folding the
+    small D axis into channels (D*C = 256+) reaches the MXU's efficient
+    regime despite the ~8/3x structural-zero FLOPs — 1.1-1.8x measured
+    (docs/PERFORMANCE.md). The parameter is the same [3,3,3,Cin,Cout] kernel,
+    so checkpoints/converters are unaffected.
+    """
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        kernel = self.param("kernel", he_normal_out, (3, 3, 3, c, self.features))
+        co = self.features
+        kb = jnp.zeros((3, 3, d * c, d * co), kernel.dtype)
+        for do in range(d):
+            for kd in range(3):
+                di = do + kd - 1
+                if 0 <= di < d:
+                    kb = kb.at[:, :, di * c : (di + 1) * c, do * co : (do + 1) * co].set(
+                        kernel[kd]
+                    )
+        dt = x.dtype if self.dtype is None else self.dtype
+        xf = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            xf, kb.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        return y.reshape(b, h, w, d, co).transpose(0, 3, 1, 2, 4)
+
+
 class ConvBN3D(nn.Module):
-    """3D conv + BatchNorm (ref basics.py convbn_3d). Input: [B, D, H, W, C]."""
+    """3D conv + BatchNorm (ref basics.py convbn_3d). Input: [B, D, H, W, C].
+
+    Stride-1 3x3x3 convs with a small D axis automatically use the D-folded
+    banded 2-D formulation (_BandedConv3D — numerically the same conv, much
+    better MXU utilization)."""
 
     features: int
     kernel_size: int | Sequence[int] = 3
@@ -91,15 +133,25 @@ class ConvBN3D(nn.Module):
             pad = (self.pad,) * 3
         else:
             pad = tuple(self.pad)
-        x = nn.Conv(
-            self.features,
-            kernel_size=ks,
-            strides=st,
-            padding=[(p, p) for p in pad],
-            use_bias=self.use_bias,
-            kernel_init=he_normal_out,
-            dtype=self.dtype,
-        )(x)
+        banded = (
+            ks == (3, 3, 3)
+            and st == (1, 1, 1)
+            and pad == (1, 1, 1)
+            and not self.use_bias
+            and 2 <= x.shape[1] <= 8
+        )
+        if banded:
+            x = _BandedConv3D(self.features, dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=ks,
+                strides=st,
+                padding=[(p, p) for p in pad],
+                use_bias=self.use_bias,
+                kernel_init=he_normal_out,
+                dtype=self.dtype,
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(x)
@@ -195,7 +247,7 @@ class InstanceNorm(nn.Module):
     (torch InstanceNorm3d(affine=True), ref asm.py:138). Channels-last."""
 
     epsilon: float = 1e-5
-    dtype: Dtype = jnp.float32
+    dtype: Dtype | None = jnp.float32
 
     @nn.compact
     def __call__(self, x):

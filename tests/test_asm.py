@@ -89,3 +89,36 @@ def test_masking_attention_shapes():
     out, mutated = mod.apply(variables, x, train=True, mutable=["batch_stats"])
     assert out.shape == (2, 8, 8, 8, 16)
     assert "batch_stats" in mutated
+
+
+def test_fast_attention_matches_exact_interior():
+    """Hoisted mask head (fast_attention): identical params, outputs match
+    the exact per-plane attention away from the shift seams; the deviation
+    is confined to boundary rows (conv radius + max shift)."""
+    import jax
+
+    from dualpixelface_tpu.ops.asm import MaskingAttention, subpixel_shift_planes
+
+    rng = np.random.default_rng(0)
+    feat = jnp.asarray(rng.standard_normal((2, 24, 20, 8)), jnp.float32)
+    disps = (-1.0, -0.5, 0.0, 0.5, 1.0, 1.5)
+    modes = dict(nearest=True, bilinear=True, phase=True)
+
+    att = MaskingAttention(features=8)
+    planes = subpixel_shift_planes(feat, disps, "forward", **modes)
+    var = att.init(jax.random.PRNGKey(0), planes, False)
+
+    exact = att.apply(var, planes, False)
+    fast = att.apply(
+        var, feat, False,
+        shift_fn=lambda t: subpixel_shift_planes(t, disps, "forward", **modes),
+    )
+    assert exact.shape == fast.shape
+    # interior rows: away from the +-2-row seam region (shift <= 2 + radius 1)
+    e = np.asarray(exact)[:, :, 4:-4]
+    f = np.asarray(fast)[:, :, 4:-4]
+    # InstanceNorm statistics differ by O(seam/area); allow a loose band on
+    # the interior and require strong agreement in aggregate
+    np.testing.assert_allclose(f, e, rtol=0.15, atol=0.05)
+    corr = np.corrcoef(e.ravel(), f.ravel())[0, 1]
+    assert corr > 0.999, corr

@@ -110,3 +110,24 @@ def test_deform_conv_pack3d_pallas_impl():
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_x), rtol=2e-5, atol=2e-5
     )
+
+
+def test_chunked_backward_matches_direct_vjp():
+    """The H-chunked backward (memory-bounded for full-res training) must be
+    exact vs the direct vjp of the windowed twin."""
+    from dualpixelface_tpu.ops import deform_conv3d as dc3d
+
+    x = _rand((1, 4, 80, 8, 5), seed=20)  # H=80 > chunk+2*halo -> chunked path
+    off = _rand((1, 4, 80, 8, 81), 1.5, seed=21)
+    wt = _rand((3, 3, 3, 5, 4), 0.2, seed=22)
+    bias = _rand((4,), seed=23)
+    cot = _rand((1, 4, 80, 8, 4), seed=24)
+
+    assert 80 > dc3d._BWD_CHUNK_ROWS + 2 * (AP + 1)
+    g_chunk = dc3d._pallas_bwd((x, off, wt, bias), cot)
+    _, vjp = jax.vjp(dc3d._windowed_xla, x, off, wt, bias)
+    g_direct = vjp(cot)
+    # chunking reorders the weight-grad reduction over samples: fp32
+    # reassociation noise ~1e-4
+    for a, b in zip(g_chunk, g_direct):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)

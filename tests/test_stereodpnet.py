@@ -115,3 +115,34 @@ def test_grid_maker_3d_normalized():
     assert vol.shape == (b, d, h, w, 3)
     v = np.asarray(vol)
     assert v.min() >= -1e-5 and v.max() <= 1.0 + 1e-5
+
+
+def test_stereodpnet_plus_matches_stereodpnet_at_init():
+    """stereodpnet_plus = the TPU fast path of the SAME architecture: its
+    param tree is identical and (zero-init offsets => aperture inert,
+    fused regression parity-tested elsewhere) outputs match."""
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models import model_selector
+
+    def build(name):
+        cfg = Configuration(f"train_synthetic_{name}", make_workspace=False,
+                            overrides=dict(batch_size=1))
+        # compare the shared architecture: disable the TPU-only fast paths
+        # (fused regression needs the TPU; fast_attention deviates at seams)
+        cfg.data["model"]["fused_regression"] = False
+        cfg.data["model"]["fast_attention"] = False
+        return model_selector(cfg.get_config())
+
+    base = build("stereodpnet")
+    plus = build("stereodpnet_plus")
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(b=1, h=32, w=32))
+    var = base.init(jax.random.PRNGKey(0), batch, train=False)
+    var_p = plus.init(jax.random.PRNGKey(0), batch, train=False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var_p)
+
+    out_b = base.apply(var, batch, train=False)
+    out_p = plus.apply(var, batch, train=False)  # same params transfer
+    np.testing.assert_allclose(
+        np.asarray(out_b["pred_depth"]), np.asarray(out_p["pred_depth"]),
+        rtol=1e-5, atol=1e-5,
+    )
