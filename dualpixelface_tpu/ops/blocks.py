@@ -9,7 +9,13 @@ batch sharded over the `data` mesh axis this is cross-replica SyncBN by
 construction (the reference only gets this with accelerator='ddp',
 config_manager.py:57).
 
-All modules take a `dtype` for bf16 activation compute with fp32 params.
+All modules take a `dtype`; the default None follows the input/param
+promotion (bf16 end-to-end once the step casts params + batch, fp32 when
+uncast), so the training policy's cast actually reaches every conv — flax
+modules with an explicit fp32 dtype silently promote bf16 inputs back up.
+Norm layers still compute their statistics in fp32 internally (flax
+`_compute_stats` upcasts half precision), so bf16 here only changes the
+activation traffic, not the stats math.
 """
 from __future__ import annotations
 
@@ -46,7 +52,7 @@ class ConvBN(nn.Module):
     pad: int | None = None
     dilation: int = 1
     use_bias: bool = False
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -80,7 +86,7 @@ class _BandedConv3D(nn.Module):
     """
 
     features: int
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -117,7 +123,7 @@ class ConvBN3D(nn.Module):
     strides: int | Sequence[int] = 1
     pad: int | Sequence[int] | None = None
     use_bias: bool = False
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -167,7 +173,7 @@ class TConvBN3D(nn.Module):
     """
 
     features: int
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -202,7 +208,7 @@ class DepthwiseSeparableConv(nn.Module):
     bn: bool = True
     relu: bool = True
     reluw: float = 0.05
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -234,7 +240,7 @@ class PReLU(nn.Module):
     """Single-parameter PReLU with configurable init (torch PReLU(init=w))."""
 
     init: float = 0.05
-    dtype: Dtype = jnp.float32
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x):
@@ -247,7 +253,7 @@ class InstanceNorm(nn.Module):
     (torch InstanceNorm3d(affine=True), ref asm.py:138). Channels-last."""
 
     epsilon: float = 1e-5
-    dtype: Dtype | None = jnp.float32
+    dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x):
