@@ -27,20 +27,41 @@ from dualpixelface_tpu.ops.resize import downsample2d_nearest, upsample2d_biline
 def sample_with_sort(cost: jnp.ndarray, disp: jnp.ndarray, costrange: np.ndarray, k: int):
     """Top-k disparity planes nearest `disp`, sorted (ref normal_module.py:120-138).
 
+    TPU-native formulation: costrange is a UNIFORM grid, so the k nearest
+    planes sorted ascending are always k CONSECUTIVE planes, with window
+    start j = clip(floor(f) - ceil((k-1)/2) ..) for f = (disp-cr0)/step —
+    verified exactly equivalent to topk(1/|diff|)+sort including ties (the
+    tie at an exact plane hit resolves to the lower window, matching
+    torch.topk's first-index preference). The select is then D-K+1 masked
+    adds instead of a per-pixel XLA gather (15-20 ns/index; the gather was
+    ~30 ms of the 768x576 forward).
+
     :param cost: [B, D, H, W, C]
     :param disp: [B, H, W] quarter-scale disparity
     :return: (cost [B, K, H, W, C], disp_range [B, K, H, W])
     """
-    cr = jnp.asarray(costrange, jnp.float32)  # [D]
-    diff = jnp.abs(cr[None, :, None, None] - disp[:, None])  # [B, D, H, W]
-    scores = 1.0 / (diff + 1e-6)
-    _, idx = jax.lax.top_k(jnp.moveaxis(scores, 1, -1), k)  # [B, H, W, K]
-    idx = jnp.sort(idx, axis=-1)
+    cr = np.asarray(costrange, np.float32)  # [D] uniform
+    d = cost.shape[1]
+    assert d == len(cr)
+    step = float(cr[1] - cr[0]) if d > 1 else 1.0
+    assert np.allclose(np.diff(cr), step), "costrange must be uniform"
+    assert k % 2 == 0, "odd k needs the round-to-nearest window rule"
 
-    cost_l = jnp.moveaxis(cost, 1, 3)  # [B, H, W, D, C]
-    gathered = jnp.take_along_axis(cost_l, idx[..., None], axis=3)  # [B, H, W, K, C]
-    squeezed_cost = jnp.moveaxis(gathered, 3, 1)  # [B, K, H, W, C]
-    squeezed_disp = jnp.moveaxis(cr[idx], -1, 1)  # [B, K, H, W]
+    f = (disp.astype(jnp.float32) - float(cr[0])) / step  # [B, H, W]
+    j0 = jnp.floor(f)
+    tie = (f == j0).astype(jnp.float32)
+    j = jnp.clip(j0 - (k // 2 - 1) - tie, 0, d - k)  # [B, H, W] window start
+
+    squeezed_cost = jnp.zeros(
+        (cost.shape[0], k) + cost.shape[2:4] + cost.shape[4:], cost.dtype
+    )
+    squeezed_disp = jnp.zeros((cost.shape[0], k) + cost.shape[2:4], jnp.float32)
+    for jj in range(d - k + 1):
+        m = (j == jj).astype(cost.dtype)[:, None, :, :]
+        squeezed_cost = squeezed_cost + m[..., None] * cost[:, jj : jj + k]
+        squeezed_disp = squeezed_disp + m.astype(jnp.float32) * jnp.asarray(
+            cr[jj : jj + k], jnp.float32
+        )[None, :, None, None]
     return squeezed_cost, squeezed_disp
 
 

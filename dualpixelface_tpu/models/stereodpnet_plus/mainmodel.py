@@ -7,7 +7,7 @@ the same architecture (identical parameter tree — checkpoints interchange
 freely with `stereodpnet`):
 
   * `deform_impl='pallas'` — the windowed Mosaic deformable-conv gather
-    (ops/kernels/deform_gather.py), 4-7x the XLA gather at ANM shapes;
+    (ops/kernels/deform_fused.py, one-hot-matmul sampling);
   * `fused_regression=true` — the Pallas fused softargmin
     (ops/kernels/fused_softargmin.py), which never materializes the x64
     upsampled logit/probability volumes (eval/serving path);

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from flax import linen as nn
 
-from dualpixelface_tpu.ops.blocks import ConvBN3D, TConvBN3D, he_normal_out
+from dualpixelface_tpu.ops.blocks import ConvBN3D, TConvBN3D, _DSliceConv3D
 from dualpixelface_tpu.ops.resize import upsample3d_trilinear
 
 
@@ -69,8 +69,10 @@ class PSMNetHGAggregation(nn.Module):
 
         def classify(x, name):
             y = nn.relu(ConvBN3D(c, 3, 1, 1, name=f"{name}_0")(x, train))
-            return nn.Conv(1, (3, 3, 3), padding=[(1, 1)] * 3, use_bias=False,
-                           kernel_init=he_normal_out, name=f"{name}_1")(y)
+            # same param tree as nn.Conv(1, (3,3,3)); the kd-folded 2-D form
+            # avoids the slow TPU 3-D conv lowering (cout=1 pads to the lane
+            # width either way — the 2-D conv amortizes it far better)
+            return _DSliceConv3D(1, name=f"{name}_1")(y)
 
         cost1 = classify(out1, "classif1")
         cost2 = classify(out2, "classif2") + cost1

@@ -30,6 +30,7 @@ from __future__ import annotations
 import math
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
@@ -175,6 +176,37 @@ def subpixel_shift_planes(
     return jnp.stack(planes_by_mode, axis=2)  # [B, D, M, H, W, C]
 
 
+class _ModeFoldedConv(nn.Module):
+    """nn.Conv((1, kh, kw)) twin that folds the mode axis into the batch and
+    runs a 2-D conv: [N, M, H, W, C] -> [N, M, H, W, F]. The parameter is the
+    identical (1, kh, kw, C, F) kernel, so checkpoints/converters see the
+    same tree; only the (slow on TPU) 3-D conv lowering is avoided."""
+
+    features: int
+    kernel_size: tuple
+    padding: int = 0
+    dtype: object = None
+
+    @nn.compact
+    def __call__(self, x):
+        n, m, h, w, c = x.shape
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", he_normal_out, (1, kh, kw, c, self.features)
+        )
+        dt = x.dtype if self.dtype is None else self.dtype
+        p = self.padding
+        y = jax.lax.conv_general_dilated(
+            x.reshape(n * m, h, w, c).astype(dt),
+            kernel[0].astype(dt),
+            (1, 1),
+            [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        return y.reshape(n, m, h, w, self.features)
+
+
 class MaskingAttention(nn.Module):
     """Shift-mode gating attention (ref asm.py:131-173).
 
@@ -222,21 +254,19 @@ class MaskingAttention(nn.Module):
         else:
             head_in = x[:, None]  # [B, 1(mode), H, W, C]
 
-        mask = nn.Conv(
-            self.features,
-            kernel_size=(1, 3, 3),
-            padding=[(0, 0), (1, 1), (1, 1)],
-            use_bias=False,
-            kernel_init=he_normal_out,
-            dtype=dt,
+        # The (1,3,3)/(1,1,1) convs never mix the mode axis, so they run as
+        # 2-D convs with the mode axis folded into the batch — XLA's TPU 3-D
+        # conv path is single-digit-MFU even for kd=1. Params keep the exact
+        # nn.Conv kernel shapes ((1,3,3,C,F) / (1,1,1,C,F)) for converters.
+        mask = _ModeFoldedConv(
+            self.features, (3, 3), padding=1, dtype=dt, name="Conv_0"
         )(head_in)
         mask = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
         )(mask)
         mask = nn.relu(mask)
-        mask = nn.Conv(
-            self.features, kernel_size=(1, 1, 1), use_bias=False,
-            kernel_init=he_normal_out, dtype=dt,
+        mask = _ModeFoldedConv(
+            self.features, (1, 1), padding=0, dtype=dt, name="Conv_1"
         )(mask)
 
         if shift_fn is not None:

@@ -73,16 +73,71 @@ class ConvBN(nn.Module):
         return x
 
 
-class _BandedConv3D(nn.Module):
-    """Param-compatible stand-in for nn.Conv(3x3x3, stride 1, pad 1) that
-    computes the 3-D conv as ONE dense 2-D conv over D-folded channels.
+class _DSliceConv3D(nn.Module):
+    """Param-compatible stand-in for nn.Conv(3x3x3, pad 1, stride 1 or 2)
+    that computes the 3-D conv as ONE 2-D conv with the kd taps folded into
+    OUTPUT channels, then two D-shifted adds.
 
     XLA's TPU 3-D conv runs at single-digit MFU for the cost-volume channel
-    widths (C=32: 9 TF/s measured) because lanes pad to 128; folding the
-    small D axis into channels (D*C = 256+) reaches the MXU's efficient
-    regime despite the ~8/3x structural-zero FLOPs — 1.1-1.8x measured
-    (docs/PERFORMANCE.md). The parameter is the same [3,3,3,Cin,Cout] kernel,
-    so checkpoints/converters are unaffected.
+    widths. The shape rationale (measured, docs/PERFORMANCE.md): the MXU
+    wants a large N dim — a D-folded banded conv (N = D*C) hit 88% hardware
+    MFU but burned ~10x structural-zero FLOPs; kd-sliced convs (N = C = 32)
+    starved the MXU. Here N = 3*Cout with zero structural waste: the conv
+    computes y[., kd, co] = (w[kd] * x) once per input plane (D folds into
+    the batch), and out[do] = sum_kd y[do + kd - 1, kd] is a pair of cheap
+    elementwise adds. The parameter is the same [3,3,3,Cin,Cout] kernel, so
+    checkpoints/converters are unaffected.
+    """
+
+    features: int
+    strides: tuple = (1, 1, 1)
+    use_bias: bool = False
+    kernel_init: Any = he_normal_out
+    bias_init: Any = nn.initializers.zeros
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, x):
+        b, d, h, w, c = x.shape
+        co = self.features
+        kernel = self.param("kernel", self.kernel_init, (3, 3, 3, c, co))
+        dt = x.dtype if self.dtype is None else self.dtype
+        sd, sh, sw = self.strides
+        do = (d + 2 - 3) // sd + 1
+        # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
+        k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
+        y = jax.lax.conv_general_dilated(
+            x.reshape(b * d, h, w, c).astype(dt),
+            k2.astype(dt),
+            (sh, sw),
+            [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        ho, wo = y.shape[1], y.shape[2]
+        y = y.reshape(b, d, ho, wo, 3, co)
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+        out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0]
+        for kd in (1, 2):
+            out = out + yp[:, kd : kd + (do - 1) * sd + 1 : sd, :, :, kd]
+        if self.use_bias:
+            out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+        return out
+
+
+class _PackedTConv3D(nn.Module):
+    """Param-compatible stand-in for nn.ConvTranspose(3x3x3, stride 2,
+    pad (1,2), transpose_kernel=True) — torch ConvTranspose3d(k=3, s=2, p=1,
+    op=1) semantics, out = exactly 2x input.
+
+    flax/XLA lower the transposed conv through input dilation, measured at
+    ~2% MFU on TPU. Here the 8 output parities are computed by ONE dense
+    2-tap conv whose output channels are (parity, Cout), then interleaved
+    (sub-pixel / depth-to-space decomposition): per axis,
+    out[2j] = x[j] w[1]; out[2j+1] = x[j] w[2] + x[j+1] w[0].
+    The D tap pair folds into input channels so the conv is 2-D.
+    Parameter: the same [3,3,3,Cout,Cin] kernel as nn.ConvTranspose with
+    transpose_kernel=True, so checkpoints/converters are unaffected.
     """
 
     features: int
@@ -91,32 +146,55 @@ class _BandedConv3D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, d, h, w, c = x.shape
-        kernel = self.param("kernel", he_normal_out, (3, 3, 3, c, self.features))
         co = self.features
-        kb = jnp.zeros((3, 3, d * c, d * co), kernel.dtype)
-        for do in range(d):
-            for kd in range(3):
-                di = do + kd - 1
-                if 0 <= di < d:
-                    kb = kb.at[:, :, di * c : (di + 1) * c, do * co : (do + 1) * co].set(
-                        kernel[kd]
-                    )
+        kernel = self.param("kernel", he_normal_out, (3, 3, 3, co, c))
         dt = x.dtype if self.dtype is None else self.dtype
-        xf = x.transpose(0, 2, 3, 1, 4).reshape(b, h, w, d * c).astype(dt)
+        k = kernel.transpose(0, 1, 2, 4, 3)  # [kd, kh, kw, Cin, Cout]
+
+        def kidx(r, t):
+            # output parity r, tap offset t -> kernel index (None = no tap)
+            if r == 0:
+                return 1 if t == 0 else None
+            return 2 if t == 0 else 0
+
+        # packed kernel [th, tw, (td, Cin), (rd, rh, rw, Cout)]
+        w2 = jnp.zeros((2, 2, 2 * c, 8 * co), k.dtype)
+        for rd in (0, 1):
+            for rh in (0, 1):
+                for rw in (0, 1):
+                    for td in (0, 1):
+                        for th in (0, 1):
+                            for tw in (0, 1):
+                                kd, kh, kw = kidx(rd, td), kidx(rh, th), kidx(rw, tw)
+                                if None in (kd, kh, kw):
+                                    continue
+                                r = (rd * 4 + rh * 2 + rw) * co
+                                w2 = w2.at[
+                                    th, tw, td * c : (td + 1) * c, r : r + co
+                                ].set(k[kd, kh, kw])
+
+        # x[j], x[j+1] per axis: pad 1 high; D tap pair -> channels
+        xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 1), (0, 0))).astype(dt)
+        v = jnp.concatenate([xp[:, :d], xp[:, 1 : d + 1]], axis=-1)
         y = jax.lax.conv_general_dilated(
-            xf, kb.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            v.reshape(b * d, h + 1, w + 1, 2 * c),
+            w2.astype(dt),
+            (1, 1),
+            [(0, 0), (0, 0)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dt,
-        )
-        return y.reshape(b, h, w, d, co).transpose(0, 3, 1, 2, 4)
+        )  # [B*D, H, W, 8*Cout]
+        y = y.reshape(b, d, h, w, 2, 2, 2, co)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [B, D, rd, H, rh, W, rw, Co]
+        return y.reshape(b, 2 * d, 2 * h, 2 * w, co)
 
 
 class ConvBN3D(nn.Module):
     """3D conv + BatchNorm (ref basics.py convbn_3d). Input: [B, D, H, W, C].
 
-    Stride-1 3x3x3 convs with a small D axis automatically use the D-folded
-    banded 2-D formulation (_BandedConv3D — numerically the same conv, much
-    better MXU utilization)."""
+    3x3x3 pad-1 convs (stride 1 or 2) automatically use the kd-sliced 2-D
+    formulation (_DSliceConv3D — numerically the same conv, much better MXU
+    utilization)."""
 
     features: int
     kernel_size: int | Sequence[int] = 3
@@ -139,15 +217,14 @@ class ConvBN3D(nn.Module):
             pad = (self.pad,) * 3
         else:
             pad = tuple(self.pad)
-        banded = (
+        dslice = (
             ks == (3, 3, 3)
-            and st == (1, 1, 1)
+            and st in ((1, 1, 1), (2, 2, 2))
             and pad == (1, 1, 1)
             and not self.use_bias
-            and 2 <= x.shape[1] <= 8
         )
-        if banded:
-            x = _BandedConv3D(self.features, dtype=self.dtype, name="Conv_0")(x)
+        if dslice:
+            x = _DSliceConv3D(self.features, strides=st, dtype=self.dtype, name="Conv_0")(x)
         else:
             x = nn.Conv(
                 self.features,
@@ -178,19 +255,10 @@ class TConvBN3D(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         # torch ConvTranspose output: (i-1)*s - 2p + k + output_padding = 2i.
-        # flax ConvTranspose pads the *output*; with transpose_kernel semantics
-        # the equivalent explicit padding for (k=3, s=2, p=1, op=1) is
-        # low = k - 1 - p = 1, high = k - 1 - p + op = 2.
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(3, 3, 3),
-            strides=(2, 2, 2),
-            padding=[(1, 2), (1, 2), (1, 2)],
-            use_bias=False,
-            kernel_init=he_normal_out,
-            transpose_kernel=True,
-            dtype=self.dtype,
-        )(x)
+        # _PackedTConv3D computes it as a parity-decomposed dense conv (the
+        # flax nn.ConvTranspose lowering measured ~2% MFU on TPU); the param
+        # is the identical transpose_kernel [3,3,3,O,I] tensor.
+        x = _PackedTConv3D(self.features, dtype=self.dtype, name="ConvTranspose_0")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
         )(x)

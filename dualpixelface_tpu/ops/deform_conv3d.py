@@ -61,7 +61,7 @@ def deform_conv3d(
                    (docs/PERFORMANCE.md). All three are tested equivalent.
     :param aperture: clamp sampling positions to +-AP voxels around the
                    output voxel along H/W (the Pallas kernel's windowed
-                   semantics, kernels/deform_gather.py) — used as the exact
+                   semantics, kernels/deform_fused.py) — used as the exact
                    XLA twin for its VJP and its oracle in tests
     :return:       [B, Do, Ho, Wo, Cout]
     """
@@ -184,7 +184,7 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
     pos_h = base_h[None] + off[..., 1]
     pos_w = base_w[None] + off[..., 2]
     if aperture:
-        from dualpixelface_tpu.ops.kernels.deform_gather import clamp_positions
+        from dualpixelface_tpu.ops.kernels.deform_fused import clamp_positions
 
         out_h = yy.reshape(1, -1, 1).astype(f32)
         out_w = xx.reshape(1, -1, 1).astype(f32)
@@ -299,9 +299,9 @@ def _deform_conv3d_pallas_vjp(x, offset, weight, bias):
         # kernel-vs-twin equivalence itself is covered by interpret-mode
         # tests (tests/test_deform_gather_pallas.py)
         return _windowed_xla(x, offset, weight, bias)
-    from dualpixelface_tpu.ops.kernels.deform_gather import deform_conv3d_pallas
+    from dualpixelface_tpu.ops.kernels.deform_fused import deform_conv3d_fused
 
-    return deform_conv3d_pallas(x, offset, weight, bias)
+    return deform_conv3d_fused(x, offset, weight, bias)
 
 
 def _pallas_fwd(x, offset, weight, bias):
@@ -323,7 +323,7 @@ def _pallas_bwd(res, g):
     masked to the chunk's own rows — exact by linearity, peak memory
     ~chunk/H of the full vjp.
     """
-    from dualpixelface_tpu.ops.kernels.deform_gather import AP
+    from dualpixelface_tpu.ops.kernels.deform_fused import AP
 
     x, offset, weight, bias = res
     h = x.shape[2]
@@ -397,16 +397,29 @@ class DeformConvPack3D(nn.Module):
         k = int(np.prod(ks))
         cin = x.shape[-1]
 
-        offset = nn.Conv(
-            3 * k,
-            kernel_size=ks,
-            strides=(self.stride,) * 3,
-            padding=[(self.padding, self.padding)] * 3,
-            use_bias=True,
-            kernel_init=nn.initializers.zeros,
-            bias_init=nn.initializers.zeros,
-            name="conv_offset",
-        )(x)
+        if ks == (3, 3, 3) and self.stride == 1 and self.padding == 1:
+            # kd-folded 2-D form of the same conv (identical param tree) —
+            # the plain 3-D conv lowering is a measured bottleneck at the
+            # ANM shape (ops/blocks.py _DSliceConv3D)
+            from dualpixelface_tpu.ops.blocks import _DSliceConv3D
+
+            offset = _DSliceConv3D(
+                3 * k,
+                use_bias=True,
+                kernel_init=nn.initializers.zeros,
+                name="conv_offset",
+            )(x)
+        else:
+            offset = nn.Conv(
+                3 * k,
+                kernel_size=ks,
+                strides=(self.stride,) * 3,
+                padding=[(self.padding, self.padding)] * 3,
+                use_bias=True,
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+                name="conv_offset",
+            )(x)
 
         weight = self.param("weight", _torch_kaiming_uniform, ks + (cin, self.features))
         if self.use_bias:

@@ -16,7 +16,7 @@ from dualpixelface_tpu.ops.deform_conv3d import (
     _windowed_xla,
     deform_conv3d,
 )
-from dualpixelface_tpu.ops.kernels.deform_gather import AP, deform_conv3d_pallas
+from dualpixelface_tpu.ops.kernels.deform_fused import AP, deform_conv3d_fused
 
 
 def _rand(shape, scale=1.0, seed=0):
@@ -41,7 +41,7 @@ def test_pallas_kernel_matches_twin(b, d, h, w, c, co, scale):
     bias = _rand((co,), seed=4)
 
     ref = _windowed_xla(x, off, wt, bias)
-    got = deform_conv3d_pallas(x, off, wt, bias, interpret=True)
+    got = deform_conv3d_fused(x, off, wt, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
@@ -67,7 +67,7 @@ def test_clamping_is_active_and_bounded():
     off = _rand((1, 4, 6, 8, 81), 50.0, seed=9)
     wt = _rand((3, 3, 3, 5, 4), 0.2, seed=10)
 
-    out = deform_conv3d_pallas(x, off, wt, None, interpret=True)
+    out = deform_conv3d_fused(x, off, wt, None, interpret=True)
     assert bool(jnp.all(jnp.isfinite(out)))
     ref = _windowed_xla(x, off, wt, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

@@ -30,12 +30,16 @@ def timeit(fn, *args, warmup=2, iters=8):
 
 
 def main():
+    import os
+
+    stages_only = bool(os.environ.get("STAGES_ONLY"))
     opt, model, variables, device = _build()
     batch = jax.device_put(
         jax.tree_util.tree_map(jnp.asarray, make_bench_batch(BATCH, HEIGHT, WIDTH)),
         device,
     )
     jax.block_until_ready((variables, batch))
+    n = BATCH
 
     def run(consume):
         @jax.jit
@@ -47,12 +51,12 @@ def main():
 
         return timeit(fwd, variables, batch)
 
-    t_full = run(lambda r: jnp.sum(r["pred_depth"]) + jnp.sum(r["pred_normal"]))
-    t_depth = run(lambda r: jnp.sum(r["pred_depth"]))
-    n = BATCH
-    print(f"full fwd:    {t_full*1e3:8.1f} ms  ({n/t_full:6.1f} pairs/s)")
-    print(f"depth-only:  {t_depth*1e3:8.1f} ms  ({n/t_depth:6.1f} pairs/s)")
-    print(f"ANM delta:   {(t_full-t_depth)*1e3:8.1f} ms")
+    if not stages_only:
+        t_full = run(lambda r: jnp.sum(r["pred_depth"]) + jnp.sum(r["pred_normal"]))
+        t_depth = run(lambda r: jnp.sum(r["pred_depth"]))
+        print(f"full fwd:    {t_full*1e3:8.1f} ms  ({n/t_full:6.1f} pairs/s)")
+        print(f"depth-only:  {t_depth*1e3:8.1f} ms  ({n/t_depth:6.1f} pairs/s)")
+        print(f"ANM delta:   {(t_full-t_depth)*1e3:8.1f} ms")
 
     # ---- stage-wise with intermediate capture ------------------------------
     from flax.core import freeze
