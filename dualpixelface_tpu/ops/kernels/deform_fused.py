@@ -65,11 +65,17 @@ def _hat(iota, pos):
 
 
 def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
-    """xw_ref: [1, 1, hb, cpad, CAND]       sampling table (cdt)
+    """xw_ref: [1, 1, 1, D_PAD, hb+7, WWIN, cpad]  w-windowed slab (cdt)
     pos_ref:  [1, 1, hb, 3, NPL]            (pd, ph_rel, pw_rel) f32
     w_ref:    [TAP_PAD, cpad, cout]         weights (cdt)
     out_ref:  [1, 1, hb//HGRP, 128, cout]   f32 voxel rows (h4, dout, wo)
     sb_ref:   [TAP_PAD, cpad, 128]          cdt scratch (per 4-row group)
+
+    The sampling "table" [(dp, dh, w) = CAND rows, cpad] for each h is just
+    32 static row-slices of the slab — no transposed table is materialized
+    anywhere (v3's XLA-side table prep was ~25 ms of shuffle copies per
+    forward): the dot contracts the CAND dim over the ROWS of both operands,
+    so the MXU absorbs the transpose.
 
     cdt is the compute dtype: bf16 when the input was bf16 (production), f32
     when it was f32 (keeps the kernel comparable to the XLA twin in tests).
@@ -100,18 +106,29 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
 
             # separable trilinear weights over the candidate window:
             # S3[(dp, dh, w), lane] = hat_d * hat_h * hat_w — the dot below
-            # contracts them against the table: gather + trilinear + boundary
-            # zeroing in one MXU pass. Hats subtract in f32 (positions span
-            # [0,16): bf16 ulp there is 1/16) and multiply in cdt.
+            # contracts them against the slab rows: gather + trilinear +
+            # boundary zeroing in one MXU pass. Hats subtract in f32
+            # (positions span [0,16): bf16 ulp there is 1/16) and multiply
+            # in cdt.
             ad = _hat(i_d, pd).astype(cdt)    # [D_PAD, 1, 1, NPL]
             ah = _hat(i_h, ph).astype(cdt)    # [1, DH_ROWS, 1, NPL]
             aw = _hat(i_w, pw).astype(cdt)    # [1, 1, WWIN, NPL]
             s3 = (ad * (ah * aw)).reshape(CAND, NPL)
 
+            # CAND rows of row h: slab rows (dp, h+dh, :) — static slices
+            tsrc = jnp.concatenate(
+                [
+                    xw_ref[0, 0, 0, dp, h + dh]
+                    for dp in range(D_PAD)
+                    for dh in range(DH_ROWS)
+                ],
+                axis=0,
+            )  # [CAND, cpad]
+
             cols = jax.lax.dot_general(
-                xw_ref[0, 0, h],
+                tsrc,
                 s3,
-                (((1,), (0,)), ((), ())),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )  # [cpad, NPL] — all taps/douts/wos of row h at once
@@ -135,17 +152,19 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
         )  # [128 voxels = (h4, dout, wo), cout]
 
 
-def _prep_table(x, cpad, dtype):
-    """x [B, D<=4, H, W, C] -> xw [B, nWB, Hp, cpad, CAND].
+def _prep_slab(x, cpad, dtype, hb):
+    """x [B, D<=4, H, W, C] -> slab [B, nWB, nHB, D_PAD, hb+7, WWIN, cpad].
 
-    lanes = cand = (plane, delta_h in [-AP, AP+1], 16-wide w window at stride
-    WBLK); sublanes = channels. Zero padding supplies out-of-volume zeros.
-    One slice-stack + ONE transpose (the 3-copy chain of the v1 kernel alone
-    cost 21 ms at the 768x576 ANM shape).
+    Pure padding + slicing (w windows are a 2x duplication of contiguous
+    8-blocks, h blocks carry a 7-row halo) with one MAJOR-dims-only
+    transpose — the minor (WWIN, cpad) dims never move, so every copy runs
+    at memcpy speed. v3 materialized a fully transposed [.., cpad, CAND]
+    table instead: ~25 ms of shuffle copies per forward at the ANM shape.
     """
     b, d, h, w, c = x.shape
-    hp = -(-h // (2 * HGRP)) * (2 * HGRP)
+    hp = -(-h // hb) * hb
     nwb = -(-w // WBLK)
+    nhb = hp // hb
     x = jnp.pad(
         x,
         (
@@ -159,11 +178,11 @@ def _prep_table(x, cpad, dtype):
     # w windows: nwb blocks of WBLK with WWIN-wide views = adjacent 8-blocks
     bw = x.reshape(b, D_PAD, hp + DH_ROWS - 1, nwb + 1, WBLK, cpad)
     xw = jnp.concatenate([bw[:, :, :, :-1], bw[:, :, :, 1:]], axis=4)
-    # [B, D_PAD, Hp+7, nWB, WWIN, cpad]; delta-h stack: row h reads h..h+7
-    xw = jnp.stack([xw[:, :, dh : dh + hp] for dh in range(DH_ROWS)], axis=5)
-    # [B, D_PAD, Hp, nWB, WWIN, 8, cpad] -> [B, nWB, Hp, cpad, D_PAD, 8, WWIN]
-    xw = xw.transpose(0, 3, 2, 6, 1, 5, 4)
-    return xw.reshape(b, nwb, hp, cpad, CAND)
+    # [B, D_PAD, Hp+7, nWB, WWIN, cpad]; h blocks with the 7-row halo
+    xw = jnp.stack(
+        [xw[:, :, i * hb : i * hb + hb + DH_ROWS - 1] for i in range(nhb)], axis=2
+    )  # [B, D_PAD, nHB, hb+7, nWB, WWIN, cpad]
+    return xw.transpose(0, 4, 2, 1, 3, 5, 6)
 
 
 def _prep_positions(offset, d, hp):
@@ -208,11 +227,11 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
     cpad = wmat.shape[1]
     cout = wmat.shape[2]
     cdt = wmat.dtype
-    xw = _prep_table(x, cpad, cdt)
-    hp = xw.shape[2]
+    xw = _prep_slab(x, cpad, cdt, hb)
+    nwb, nhb = xw.shape[1], xw.shape[2]
+    hp = nhb * hb
     pos = _prep_positions(offset, d, hp)
-    nwb = xw.shape[1]
-    grid = (b, nwb, hp // hb)
+    grid = (b, nwb, nhb)
 
     kernel = functools.partial(_kernel, hb, cpad, cout, cdt)
     out = pl.pallas_call(
@@ -220,8 +239,8 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, hb, cpad, CAND),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
+                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Split the ANM stage at 768x576 b4 bf16: sample+grid+concat, each deform
+conv (+BN/relu), the 2-D n_convs tail + upsample. Relay floor ~3 ms each.
+"""
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dualpixelface_tpu.config import Configuration
+from dualpixelface_tpu.models.stereodpnet.normal_module import (
+    ANM,
+    grid_maker_3d,
+    sample_with_sort,
+)
+from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
+from dualpixelface_tpu.ops.precision import cast_floating
+from dualpixelface_tpu.ops.resize import downsample2d_nearest
+
+
+def timeit(fn, *args, warmup=2, iters=10):
+    for _ in range(warmup):
+        float(jnp.sum(fn(*args).astype(jnp.float32)))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(iters):
+        out = fn(*args)
+    float(jnp.sum(out.astype(jnp.float32)))
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    opt = cfg.get_config()
+    rng = np.random.default_rng(0)
+    b, d, hq, wq, c = 4, 8, 192, 144, 32
+    cost = jnp.asarray(rng.standard_normal((b, d, hq, wq, 2 * c)), jnp.bfloat16)
+    disp = jnp.asarray(rng.uniform(-4, 12, (b, 4 * hq, 4 * wq)), jnp.bfloat16)
+    batch = {
+        "K": jnp.asarray(
+            np.tile(np.array([[[7400.0, 0, 288], [0, 7400.0, 384], [0, 0, 1]]],
+                             np.float32), (b, 1, 1))),
+        "abvalue": jnp.asarray(np.tile([[32.98, -26996.49]], (b, 1)), np.float32),
+    }
+    anm = ANM(opt, opt.model.mindisp, opt.model.maxdisp)
+    vs = cast_floating(
+        anm.init(jax.random.PRNGKey(0), [cost], [disp], batch, False), jnp.bfloat16
+    )
+
+    cr = make_costrange(opt.model.mindisp, opt.model.maxdisp, opt.model.level)
+
+    @jax.jit
+    def stage_sample(cost, disp, batch):
+        dq = downsample2d_nearest(disp[..., None], 4)[..., 0] * 0.25
+        cost_s, dr = sample_with_sort(cost, dq, cr, opt.model.dsample_num)
+        coordV = grid_maker_3d(batch["K"], dr, batch["abvalue"])
+        return jnp.concatenate([cost_s, coordV.astype(cost_s.dtype)], axis=-1)
+
+    t_sample = timeit(stage_sample, cost, disp, batch)
+    fv = stage_sample(cost, disp, batch)
+    print(f"sample+grid+concat: {t_sample*1e3:7.2f} ms  fv={fv.shape} {fv.dtype}")
+
+    from dualpixelface_tpu.ops.deform_conv3d import DeformConvPack3D
+
+    dc = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl="pallas")
+    dvs = cast_floating(dc.init(jax.random.PRNGKey(1), fv), jnp.bfloat16)
+    f_dc = jax.jit(lambda v, x: dc.apply(v, x)[0])
+    t_dc1 = timeit(f_dc, dvs, fv)
+    print(f"deform pack (67ch in): {t_dc1*1e3:7.2f} ms")
+    fv2 = f_dc(dvs, fv)
+    dc2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl="pallas")
+    dvs2 = cast_floating(dc2.init(jax.random.PRNGKey(2), fv2), jnp.bfloat16)
+    t_dc2 = timeit(jax.jit(lambda v, x: dc2.apply(v, x)[0]), dvs2, fv2)
+    print(f"deform pack (64ch in): {t_dc2*1e3:7.2f} ms")
+
+    # full ANM for the total
+    f_anm = jax.jit(lambda v, c_, d_, b_: anm.apply(v, [c_], [d_], b_, False)[0][0])
+    t_anm = timeit(f_anm, vs, cost, disp, batch)
+    print(f"full ANM:           {t_anm*1e3:7.2f} ms")
+    print(f"tail (residual):    {(t_anm - t_sample - t_dc1 - t_dc2)*1e3:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
