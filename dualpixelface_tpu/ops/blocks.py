@@ -115,6 +115,10 @@ class _DSliceConv3D(nn.Module):
             preferred_element_type=dt,
         )
         ho, wo = y.shape[1], y.shape[2]
+        # out[do] = sum_kd y[do*sd + kd - 1, kd-th channel group] via pad +
+        # D-shifted strided slices. (A 0/1-selection conv over the D axis was
+        # tried to avoid the channel-group relayout copies, but measured
+        # ~20 ms slower across the depth path.)
         y = y.reshape(b, d, ho, wo, 3, co)
         yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
         out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0]
@@ -316,9 +320,12 @@ class PReLU(nn.Module):
         return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
-class InstanceNorm(nn.Module):
-    """InstanceNorm over all spatial dims, per channel, with affine params
-    (torch InstanceNorm3d(affine=True), ref asm.py:138). Channels-last."""
+class _PerChannelNorm(nn.Module):
+    """flax GroupNorm(num_groups=C) twin (same 'scale'/'bias' params, same
+    E[x^2]-E[x]^2 fast-variance stats in f32) that normalizes in ONE fused
+    pass in the compute dtype: flax's `_normalize` does the sub/mul/add in
+    f32, materializing three full-size f32 temps — at the ASM attention's
+    [B*D, M, H, W, C] (~340 MB f32) that was several ms per direction."""
 
     epsilon: float = 1e-5
     dtype: Dtype | None = None
@@ -326,6 +333,30 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
-        return nn.GroupNorm(
-            num_groups=c, epsilon=self.epsilon, use_bias=True, use_scale=True, dtype=self.dtype
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        dt = x.dtype if self.dtype is None else self.dtype
+        red = tuple(range(1, x.ndim - 1))
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=red, keepdims=True)
+        var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = (inv * scale.astype(jnp.float32)).astype(dt)
+        b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)).astype(dt)
+        return x.astype(dt) * a + b
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm over all spatial dims, per channel, with affine params
+    (torch InstanceNorm3d(affine=True), ref asm.py:138). Channels-last.
+    Param tree matches the earlier nn.GroupNorm(num_groups=C) implementation
+    (child named GroupNorm_0), so converters/checkpoints are unaffected."""
+
+    epsilon: float = 1e-5
+    dtype: Dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        return _PerChannelNorm(
+            epsilon=self.epsilon, dtype=self.dtype, name="GroupNorm_0"
         )(x)
