@@ -94,7 +94,7 @@ def _build(fused=True):
     return opt, model, jax.device_put(variables, device), device
 
 
-REPS_PER_DISPATCH = 4  # forwards chained inside one executable
+REPS_PER_DISPATCH = 8  # forwards chained inside one executable
 
 
 def measure_forward(opt, model, variables, device):
@@ -145,8 +145,8 @@ def measure_forward(opt, model, variables, device):
 
 def measure_train_step(opt):
     """Full train step (fwd+bwd+adam, bf16, cross-replica BN) at the
-    reference crop; batch 2 — the fp32-gather backward residuals do not fit
-    16 GB at batch 4."""
+    reference crop, batch 2; the deform convs differentiate through the
+    fused Pallas backward (kernels/deform_fused.py)."""
     import jax
     import jax.numpy as jnp
 

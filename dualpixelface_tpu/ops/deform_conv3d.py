@@ -308,59 +308,18 @@ def _pallas_fwd(x, offset, weight, bias):
     return _deform_conv3d_pallas_vjp(x, offset, weight, bias), (x, offset, weight, bias)
 
 
-_BWD_CHUNK_ROWS = 16  # H rows per backward chunk (memory / compile trade)
-
-
 def _pallas_bwd(res, g):
-    """Backward through the XLA twin (same clamped positions, so the three
-    reference gradients — input/offset/weight, deform_conv_cuda.cu:221-280 —
-    are exact for the windowed op).
-
-    The vjp's gather residuals are huge ([B, 8, Cin, N*K] fp32 — tens of GB
-    at the reference's 768x576 crop), so the backward is CHUNKED over H:
-    the windowed op is spatially local (aperture AP+1 = 4 rows), so each
-    chunk's grads are computed from a haloed row slice with the cotangent
-    masked to the chunk's own rows — exact by linearity, peak memory
-    ~chunk/H of the full vjp.
-    """
-    from dualpixelface_tpu.ops.kernels.deform_fused import AP
+    """Fused Pallas backward (kernels/deform_fused.py): the one-hot-matmul
+    forward run in reverse — grad_x via S3 gcols^T accumulated into the slab
+    layout, grad_offset via the hat chain, grad_weight grid-accumulated —
+    covering the reference's three backward CUDA kernels
+    (deform_conv_cuda.cu:221-280) in one pass. Replaces an H-chunked
+    jax.vjp of the XLA twin that cost ~1.7 s/conv at the 768x576 train shape
+    (per-index gather cost, 12 chunked replays)."""
+    from dualpixelface_tpu.ops.kernels.deform_fused import deform_conv3d_fused_bwd
 
     x, offset, weight, bias = res
-    h = x.shape[2]
-    halo = AP + 1
-
-    def run_vjp(xs, offs, cot):
-        if bias is not None:
-            _, vjp = jax.vjp(_windowed_xla, xs, offs, weight, bias)
-            return vjp(cot)
-        gx, go, gw = jax.vjp(
-            lambda x_, o_, w_: _windowed_xla(x_, o_, w_, None), xs, offs, weight
-        )[1](cot)
-        return gx, go, gw, None
-
-    if h <= _BWD_CHUNK_ROWS + 2 * halo:
-        return run_vjp(x, offset, g)
-
-    grad_x = jnp.zeros_like(x)
-    grad_off = jnp.zeros_like(offset)
-    grad_w = jnp.zeros_like(weight)
-    grad_b = jnp.zeros_like(bias) if bias is not None else None
-    for h0 in range(0, h, _BWD_CHUNK_ROWS):
-        h1 = min(h0 + _BWD_CHUNK_ROWS, h)
-        r0, r1 = max(h0 - halo, 0), min(h1 + halo, h)
-        xs = x[:, :, r0:r1]
-        offs = offset[:, :, r0:r1]
-        # cotangent zeroed outside [h0, h1): by linearity the vjp then yields
-        # exactly these output rows' contributions
-        rows = jnp.arange(r0, r1)
-        m = ((rows >= h0) & (rows < h1)).astype(g.dtype).reshape(1, 1, -1, 1, 1)
-        gx, go, gw, gb = run_vjp(xs, offs, g[:, :, r0:r1] * m)
-        grad_x = grad_x.at[:, :, r0:r1].add(gx)
-        grad_off = grad_off.at[:, :, h0:h1].set(go[:, :, h0 - r0 : h0 - r0 + (h1 - h0)])
-        grad_w = grad_w + gw
-        if grad_b is not None:
-            grad_b = grad_b + gb
-    return grad_x, grad_off, grad_w, grad_b
+    return deform_conv3d_fused_bwd(x, offset, weight, bias, g)
 
 
 _deform_conv3d_pallas_vjp.defvjp(_pallas_fwd, _pallas_bwd)

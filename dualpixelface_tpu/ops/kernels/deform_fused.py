@@ -306,3 +306,259 @@ def deform_conv3d_fused(x, offset, weight, bias=None, interpret=None):
     if bias is not None:
         out = out + bias
     return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: the same one-hot-matmul structure run in reverse.
+#
+# Forward (per row h):  S3 = ad*ah*aw;  cols = tsrc^T S3;  out = SB^T W.
+# Backward:
+#   gSB   = W g^T                      (one dot per 4-row group)
+#   gslab = sum_h S3 gcols^T           (accumulated into the slab layout)
+#   gS3   = tsrc gcols                 -> chain through the three hats to
+#                                         (g_pd, g_ph, g_pw) per pair-lane
+#   gW    = sum_blocks SB g            (grid-accumulated, constant block)
+# The XLA-side reversals of the slab/position preps are jax.vjp of the
+# forward preps themselves, so they are exactly consistent (including the
+# clamp's gradient); the reference's three backward CUDA kernels
+# (deform_conv_cuda.cu:221-280) are all covered by this one pass.
+# ---------------------------------------------------------------------------
+
+
+def _hat_grad(iota, pos):
+    """d/dpos of hat(iota - pos), with the tie convention of floor-based
+    trilinear interpolation (the XLA twin): +1 on t in (0, 1], -1 on
+    t in (-1, 0]. sign(0)=0 would zero ALL offset gradients at the
+    zero-offset initialization, where every position is an exact integer."""
+    t = iota - pos
+    return jnp.where(
+        (t > 0.0) & (t <= 1.0), 1.0,
+        jnp.where((t > -1.0) & (t <= 0.0), -1.0, 0.0),
+    )
+
+
+def _bwd_kernel(hb, cpad, cout, cdt,
+                xw_ref, pos_ref, w_ref, g_ref,
+                gslab_ref, gpos_ref, gw_ref, sb_ref):
+    """Inputs mirror the forward kernel; g_ref is the cotangent in the
+    forward's output layout [1, 1, hb//HGRP, 128, cout] (cdt).
+    Outputs: gslab (f32, slab layout, per block), gpos (f32, [hb, 3, NPL]),
+    gw (f32, [TAP_PAD, cpad, cout], accumulated across the whole grid via a
+    constant index map)."""
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    wo_l = (jax.lax.broadcasted_iota(jnp.int32, (1, NPL), 1) % WBLK).astype(
+        jnp.float32
+    )
+    i_d = fiota((D_PAD, 1, 1, NPL), 0)
+    i_h = fiota((1, DH_ROWS, 1, NPL), 1)
+    i_w = fiota((1, 1, WWIN, NPL), 2)
+
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    step = (
+        pl.program_id(0) * pl.num_programs(1) * pl.num_programs(2)
+        + pl.program_id(1) * pl.num_programs(2)
+        + pl.program_id(2)
+    )
+
+    @pl.when(step == 0)
+    def _init_gw():
+        gw_ref[:, :, :] = jnp.zeros(gw_ref.shape, gw_ref.dtype)
+
+    gslab_ref[:, :, :, :, :, :, :] = jnp.zeros(gslab_ref.shape, gslab_ref.dtype)
+    w_flat = w_ref[:, :, :].reshape(TAP_PAD * cpad, cout)
+    gw_acc = jnp.zeros((TAP_PAD * cpad, cout), jnp.float32)
+
+    for hg in range(hb // HGRP):
+        g_hg = g_ref[0, 0, 0, hg]  # [128, cout] cdt
+        gsb = jax.lax.dot_general(
+            w_flat, g_hg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).reshape(TAP_PAD, cpad, 128).astype(cdt)  # [K, voxel-lanes]
+
+        for hs in range(HGRP):
+            h = hg * HGRP + hs
+            pd = pos_ref[0, 0, h, 0:1, :]
+            ph = pos_ref[0, 0, h, 1:2, :] + AP
+            pw = pos_ref[0, 0, h, 2:3, :] + (AP + 1) + wo_l
+
+            ad_f = _hat(i_d, pd)
+            ah_f = _hat(i_h, ph)
+            aw_f = _hat(i_w, pw)
+            ad, ah, aw = ad_f.astype(cdt), ah_f.astype(cdt), aw_f.astype(cdt)
+            ahw = ah * aw                       # [1, 8, 16, NPL]
+            s3 = (ad * ahw).reshape(CAND, NPL)
+
+            tsrc = jnp.concatenate(
+                [
+                    xw_ref[0, 0, 0, dp, h + dh]
+                    for dp in range(D_PAD)
+                    for dh in range(DH_ROWS)
+                ],
+                axis=0,
+            )  # [CAND, cpad] cdt
+
+            # forward cols (recomputed) -> SB for gW
+            cols = jax.lax.dot_general(
+                tsrc, s3, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).astype(cdt)  # [cpad, NPL]
+            for tau in range(TAP_PAD):
+                sb_ref[tau, :, hs * 32 : (hs + 1) * 32] = cols[
+                    :, tau * 32 : (tau + 1) * 32
+                ]
+
+            # gcols of row h from gsb's voxel lanes (hs, dout, wo)
+            gcols = jnp.concatenate(
+                [gsb[tau, :, hs * 32 : (hs + 1) * 32] for tau in range(TAP_PAD)],
+                axis=1,
+            )  # [cpad, NPL]
+
+            # gslab: accumulate S3 gcols^T into the slab rows of this h
+            gt = jax.lax.dot_general(
+                s3, gcols, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )  # [CAND, cpad] f32
+            gtv = gt.reshape(D_PAD, DH_ROWS, WWIN, cpad)
+            for dp in range(D_PAD):
+                for dh in range(DH_ROWS):
+                    gslab_ref[0, 0, 0, dp, h + dh] = (
+                        gslab_ref[0, 0, 0, dp, h + dh] + gtv[dp, dh]
+                    )
+
+            # gS3 -> hat chain -> per-lane position gradients
+            gs3 = jax.lax.dot_general(
+                tsrc, gcols, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(D_PAD, DH_ROWS, WWIN, NPL)  # f32
+
+            gs3c = gs3.astype(cdt)
+            g_ad = jnp.sum(gs3c * ahw, axis=(1, 2))            # [D_PAD, NPL]
+            adw = (ad * aw)                                     # [D_PAD,1,WWIN,NPL]
+            g_ah = jnp.sum(gs3c * adw, axis=(0, 2))             # [DH_ROWS, NPL]
+            adh = (ad * ah)                                     # [D_PAD,DH_ROWS,1,NPL]
+            g_aw = jnp.sum(gs3c * adh, axis=(0, 1))             # [WWIN, NPL]
+
+            g_pd = jnp.sum(g_ad.astype(jnp.float32) * _hat_grad(i_d[:, 0, 0], pd), axis=0)
+            g_ph = jnp.sum(g_ah.astype(jnp.float32) * _hat_grad(i_h[0, :, 0], ph), axis=0)
+            g_pw = jnp.sum(g_aw.astype(jnp.float32) * _hat_grad(i_w[0, 0, :], pw), axis=0)
+            gpos_ref[0, 0, h, 0, :] = g_pd
+            gpos_ref[0, 0, h, 1, :] = g_ph
+            gpos_ref[0, 0, h, 2, :] = g_pw
+
+        gw_acc = gw_acc + jax.lax.dot_general(
+            sb_ref[:, :, :].reshape(TAP_PAD * cpad, 128), g_hg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    gw_ref[:, :, :] = gw_ref[:, :, :] + gw_acc.reshape(TAP_PAD, cpad, cout)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "hb"))
+def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
+    b, d, h, w, c = x.shape
+    cpad = wmat.shape[1]
+    cout = wmat.shape[2]
+    cdt = wmat.dtype
+
+    slab_fn = lambda x_: _prep_slab(x_, cpad, cdt, hb)
+    xw, slab_vjp = jax.vjp(slab_fn, x)
+    nwb, nhb = xw.shape[1], xw.shape[2]
+    hp = nhb * hb
+    pos_fn = lambda o_: _prep_positions(o_, d, hp)
+    pos, pos_vjp = jax.vjp(pos_fn, offset)
+
+    # cotangent into the kernel's output layout (inverse of the forward's
+    # final reshape/transpose; the (0,4,..) permutation is self-inverse)
+    gp = jnp.pad(
+        g.astype(cdt),
+        ((0, 0), (0, D_PAD - d), (0, hp - h), (0, nwb * WBLK - w), (0, 0)),
+    )
+    gp = gp.reshape(b, D_PAD, hp // HGRP, HGRP, nwb, WBLK, cout)
+    gp = gp.transpose(0, 4, 2, 3, 1, 5, 6).reshape(b, nwb, hp // HGRP, 128, cout)
+    gp = gp.reshape(b, nwb, nhb, hb // HGRP, 128, cout)
+
+    kernel = functools.partial(_bwd_kernel, hb, cpad, cout, cdt)
+    gslab, gpos, gw = pl.pallas_call(
+        kernel,
+        grid=(b, nwb, nhb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 3, NPL),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TAP_PAD, cpad, cout),
+                lambda bi, wi, hi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 1, hb // HGRP, 128, cout),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, hb, 3, NPL),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (TAP_PAD, cpad, cout),
+                lambda bi, wi, hi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(xw.shape, jnp.float32),
+            jax.ShapeDtypeStruct(pos.shape, jnp.float32),
+            jax.ShapeDtypeStruct((TAP_PAD, cpad, cout), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((TAP_PAD, cpad, 128), cdt)],
+        interpret=interpret,
+    )(xw, pos, wmat, gp)
+
+    (grad_x,) = slab_vjp(gslab.astype(xw.dtype))
+    (grad_offset,) = pos_vjp(gpos.astype(pos.dtype))
+    grad_w = gw[:KTAPS, :c].reshape(3, 3, 3, c, cout)
+    return grad_x.astype(x.dtype), grad_offset.astype(offset.dtype), grad_w
+
+
+def deform_conv3d_fused_bwd(x, offset, weight, bias, g, interpret=None):
+    """Gradients of `deform_conv3d_fused` w.r.t. (x, offset, weight, bias).
+
+    Matches the XLA aperture twin's vjp (the windowed clamp's zero-gradient
+    region and the trilinear hat kinks use the same conventions; verified by
+    tests/test_deform_gather_pallas.py's custom-vjp suite).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, d, h, w, c = x.shape
+    cout = weight.shape[-1]
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    cq = 16 if cdt == jnp.bfloat16 else 8
+    cpad = -(-c // cq) * cq
+    wmat = pack_weight_fused(weight, cpad, cdt)
+    hp = -(-h // (2 * HGRP)) * (2 * HGRP)
+    hb = 16 if hp % 16 == 0 else 2 * HGRP
+    gx, goff, gw = _fused_bwd_call(x, offset, wmat, g, hb=hb, interpret=interpret)
+    gb = None if bias is None else jnp.sum(g, axis=(0, 1, 2, 3)).astype(bias.dtype)
+    return gx, goff, gw.astype(weight.dtype), gb

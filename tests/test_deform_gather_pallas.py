@@ -112,22 +112,41 @@ def test_deform_conv_pack3d_pallas_impl():
     )
 
 
-def test_chunked_backward_matches_direct_vjp():
-    """The H-chunked backward (memory-bounded for full-res training) must be
-    exact vs the direct vjp of the windowed twin."""
+def test_fused_backward_matches_direct_vjp():
+    """The fused Pallas backward (one-hot-matmul run in reverse, the train
+    path) must match the direct vjp of the windowed twin, multi-block H."""
     from dualpixelface_tpu.ops import deform_conv3d as dc3d
 
-    x = _rand((1, 4, 80, 8, 5), seed=20)  # H=80 > chunk+2*halo -> chunked path
+    x = _rand((1, 4, 80, 8, 5), seed=20)  # H=80 -> several h-blocks
     off = _rand((1, 4, 80, 8, 81), 1.5, seed=21)
     wt = _rand((3, 3, 3, 5, 4), 0.2, seed=22)
     bias = _rand((4,), seed=23)
     cot = _rand((1, 4, 80, 8, 4), seed=24)
 
-    assert 80 > dc3d._BWD_CHUNK_ROWS + 2 * (AP + 1)
-    g_chunk = dc3d._pallas_bwd((x, off, wt, bias), cot)
+    g_fused = dc3d._pallas_bwd((x, off, wt, bias), cot)
     _, vjp = jax.vjp(dc3d._windowed_xla, x, off, wt, bias)
     g_direct = vjp(cot)
-    # chunking reorders the weight-grad reduction over samples: fp32
-    # reassociation noise ~1e-4
-    for a, b in zip(g_chunk, g_direct):
+    # block accumulation reorders the weight-grad reduction over samples:
+    # fp32 reassociation noise ~1e-4
+    for a, b in zip(g_fused, g_direct):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_backward_zero_offset_init():
+    """At the zero-offset initialization every sampling position is an exact
+    integer: the hat-gradient tie convention must still produce the twin's
+    (nonzero) offset gradients — sign(0)=0 would silently freeze the offset
+    head at the start of training."""
+    from dualpixelface_tpu.ops import deform_conv3d as dc3d
+
+    x = _rand((1, 4, 8, 8, 5), seed=30)
+    off = jnp.zeros((1, 4, 8, 8, 81), jnp.float32)
+    wt = _rand((3, 3, 3, 5, 4), 0.2, seed=31)
+    cot = _rand((1, 4, 8, 8, 4), seed=32)
+
+    g_fused = dc3d._pallas_bwd((x, off, wt, None), cot)
+    _, vjp = jax.vjp(lambda x_, o_, w_: dc3d._windowed_xla(x_, o_, w_, None), x, off, wt)
+    g_direct = vjp(cot)
+    assert float(jnp.abs(g_direct[1]).sum()) > 0.0
+    for a, b in zip(g_fused[:3], g_direct):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
