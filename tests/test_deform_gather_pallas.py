@@ -29,9 +29,9 @@ def _rand(shape, scale=1.0, seed=0):
     "b,d,h,w,c,co,scale",
     [
         (1, 4, 8, 8, 5, 7, 0.5),
-        (2, 4, 6, 20, 35, 16, 2.0),
         (1, 3, 8, 11, 5, 6, 8.0),  # D<4, ragged W, aggressive clamping
-        (1, 4, 8, 16, 64, 8, 1.5),  # two channel chunks
+        pytest.param(2, 4, 6, 20, 35, 16, 2.0, marks=pytest.mark.slow),
+        pytest.param(1, 4, 8, 16, 64, 8, 1.5, marks=pytest.mark.slow),
     ],
 )
 def test_pallas_kernel_matches_twin(b, d, h, w, c, co, scale):
@@ -112,6 +112,7 @@ def test_deform_conv_pack3d_pallas_impl():
     )
 
 
+@pytest.mark.slow
 def test_fused_backward_matches_direct_vjp():
     """The fused Pallas backward (one-hot-matmul run in reverse, the train
     path) must match the direct vjp of the windowed twin, multi-block H."""
