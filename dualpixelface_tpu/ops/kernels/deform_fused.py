@@ -339,12 +339,14 @@ def _hat_grad(iota, pos):
 
 def _bwd_kernel(hb, cpad, cout, cdt,
                 xw_ref, pos_ref, w_ref, g_ref,
-                gslab_ref, gpos_ref, gw_ref, sb_ref):
+                gslab_ref, gpos_ref, gw_ref, sb_ref, gsl_ref):
     """Inputs mirror the forward kernel; g_ref is the cotangent in the
     forward's output layout [1, 1, hb//HGRP, 128, cout] (cdt).
-    Outputs: gslab (f32, slab layout, per block), gpos (f32, [hb, 3, NPL]),
-    gw (f32, [TAP_PAD, cpad, cout], accumulated across the whole grid via a
-    constant index map)."""
+    Outputs: gslab (cdt, slab layout, per block — accumulated in the f32
+    gsl_ref scratch, cast once at block end; the XLA-side slab vjp consumes
+    cdt anyway, and the f32 output pushed the b4 768x576 train step 55 MB
+    past HBM), gpos (f32, [hb, 3, NPL]), gw (f32, [TAP_PAD, cpad, cout],
+    accumulated across the whole grid via a constant index map)."""
 
     def fiota(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
@@ -370,7 +372,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
     def _init_gw():
         gw_ref[:, :, :] = jnp.zeros(gw_ref.shape, gw_ref.dtype)
 
-    gslab_ref[:, :, :, :, :, :, :] = jnp.zeros(gslab_ref.shape, gslab_ref.dtype)
+    gsl_ref[:, :, :, :] = jnp.zeros(gsl_ref.shape, gsl_ref.dtype)
     w_flat = w_ref[:, :, :].reshape(TAP_PAD * cpad, cout)
     gw_acc = jnp.zeros((TAP_PAD * cpad, cout), jnp.float32)
 
@@ -427,9 +429,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
             gtv = gt.reshape(D_PAD, DH_ROWS, WWIN, cpad)
             for dp in range(D_PAD):
                 for dh in range(DH_ROWS):
-                    gslab_ref[0, 0, 0, dp, h + dh] = (
-                        gslab_ref[0, 0, 0, dp, h + dh] + gtv[dp, dh]
-                    )
+                    gsl_ref[dp, h + dh] = gsl_ref[dp, h + dh] + gtv[dp, dh]
 
             # gS3 -> hat chain -> per-lane position gradients
             gs3 = jax.lax.dot_general(
@@ -458,6 +458,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
         )
 
     gw_ref[:, :, :] = gw_ref[:, :, :] + gw_acc.reshape(TAP_PAD, cpad, cout)
+    gslab_ref[0, 0, 0] = gsl_ref[:, :, :, :].astype(cdt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "hb"))
@@ -528,15 +529,18 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct(xw.shape, jnp.float32),
+            jax.ShapeDtypeStruct(xw.shape, cdt),
             jax.ShapeDtypeStruct(pos.shape, jnp.float32),
             jax.ShapeDtypeStruct((TAP_PAD, cpad, cout), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((TAP_PAD, cpad, 128), cdt)],
+        scratch_shapes=[
+            pltpu.VMEM((TAP_PAD, cpad, 128), cdt),
+            pltpu.VMEM((D_PAD, hb + DH_ROWS - 1, WWIN, cpad), jnp.float32),
+        ],
         interpret=interpret,
     )(xw, pos, wmat, gp)
 
-    (grad_x,) = slab_vjp(gslab.astype(xw.dtype))
+    (grad_x,) = slab_vjp(gslab)
     (grad_offset,) = pos_vjp(gpos.astype(pos.dtype))
     grad_w = gw[:KTAPS, :c].reshape(3, 3, 3, c, cout)
     return grad_x.astype(x.dtype), grad_offset.astype(offset.dtype), grad_w
