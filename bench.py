@@ -177,6 +177,34 @@ def measure_train_step(opt):
     return TRAIN_BATCH * TRAIN_ITERS / (time.perf_counter() - t0)
 
 
+def _build_plus():
+    """stereodpnet_plus: the TPU-native serving configuration (identical
+    param tree; fast_attention + the documented fast-path deviations)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models import model_selector
+
+    cfg = Configuration("train_synthetic_stereodpnet_plus", make_workspace=False)
+    cfg.data["model"]["fused_regression"] = True
+    cfg.data["model"]["deform_impl"] = "pallas"
+    opt = cfg.get_config()
+    model = model_selector(opt)
+    init_cfg = Configuration("train_synthetic_stereodpnet_plus", make_workspace=False)
+    init_cfg.data["model"]["deform_impl"] = "packed8"
+    # the Pallas kernels cannot trace on the CPU init device; both fast
+    # paths are param-free, so init with them off (identical param tree)
+    init_cfg.data["model"]["fused_regression"] = False
+    init_model = model_selector(init_cfg.get_config())
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        small = jax.tree_util.tree_map(jnp.asarray, make_bench_batch(1, 96, 96))
+        variables = init_model.init(jax.random.PRNGKey(0), small, train=False)
+    device = jax.devices()[0]
+    return opt, model, jax.device_put(variables, device), device
+
+
 def main():
     opt, model, variables, device = _build()
     pairs_per_sec = measure_forward(opt, model, variables, device)
@@ -184,6 +212,10 @@ def main():
         train_pairs = measure_train_step(opt)
     except Exception:
         train_pairs = None
+    try:
+        plus_pairs = measure_forward(*_build_plus())
+    except Exception:
+        plus_pairs = None
     print(
         json.dumps(
             {
@@ -195,6 +227,9 @@ def main():
                 "batch": BATCH,
                 "train_step_pairs_per_sec_b2": (
                     round(train_pairs, 3) if train_pairs else None
+                ),
+                "stereodpnet_plus_fwd_pairs_per_sec": (
+                    round(plus_pairs, 3) if plus_pairs else None
                 ),
                 "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
                 "anchor_flops_per_pair": FLOPS_PER_PAIR,

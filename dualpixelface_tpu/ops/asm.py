@@ -136,6 +136,14 @@ def phase_shift_multi(x: jnp.ndarray, deltas: Sequence[float], axis: int = 1) ->
     assert axis == 1, "phase shift operates on the H axis of [B, H, W, C]"
     b, h, w, c = x.shape
     mats = jnp.asarray(phase_shift_matrix(h, deltas))  # [D, H, H]
+    if x.dtype == jnp.bfloat16:
+        # bf16 operands + bf16 output (f32 MXU accumulation internally):
+        # a f32 preferred type materializes the [B, D, H, W, C] volume in
+        # f32 (~340 MB at the 768x576 cost-volume shape) just to downcast
+        return jnp.einsum(
+            "dyh,bhwc->bdywc", mats.astype(jnp.bfloat16), x,
+            preferred_element_type=jnp.bfloat16,
+        )
     out = jnp.einsum(
         "dyh,bhwc->bdywc", mats, x.astype(jnp.float32),
         preferred_element_type=jnp.float32,
