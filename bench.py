@@ -19,15 +19,29 @@ estimate. Anchor:
 
 North star (BASELINE.json) is >=5x that per chip: TARGET = 42.9 pairs/s.
 `vs_baseline` = measured / TARGET, so 1.0 == the 5x-per-GPU target met at
-the reference's own resolution. The JSON also reports the train-step
-throughput and the derivation inputs so the anchor can be re-derived.
+the reference's own resolution.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Driver-budget design (round-3, after the round-2 rc=124 timeout):
+  * the JAX persistent compilation cache is enabled (`.jax_cache/`), so any
+    rerun on this host is warm;
+  * the chained forward reps run under `lax.scan` — ONE compiled body
+    instead of REPS inlined copies, cutting cold compile time several-fold;
+  * the headline JSON line is printed (and flushed) IMMEDIATELY after the
+    forward measurement; the train-step and stereodpnet_plus extras run
+    only while a wall-clock deadline (BENCH_DEADLINE_S, default 400 s from
+    process start) has budget left, and the final merged JSON is re-emitted
+    last (the driver parses the tail — both lines carry the same headline
+    metric/value).  Set BENCH_FAST=1 to skip the extras entirely.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+T_START = time.perf_counter()
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "400"))
 
 FLOPS_PER_PAIR = 392.2e9        # XLA cost analysis, fwd @768x576 fp32
 GPU_PEAK_FP32 = 13.45e12        # RTX 2080 Ti class (CUDA 10.1 era)
@@ -41,6 +55,20 @@ WARMUP = 2
 ITERS = 10
 TRAIN_BATCH = 2                 # fwd+bwd at full res fits 16 GB at batch 2
 TRAIN_ITERS = 5
+REPS_PER_DISPATCH = 8           # forwards chained (lax.scan) per dispatch
+
+
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def _remaining():
+    return DEADLINE_S - (time.perf_counter() - T_START)
 
 
 def make_bench_batch(b, h, w):
@@ -67,24 +95,25 @@ def make_bench_batch(b, h, w):
     }
 
 
-def _build(fused=True):
+def _build(config_name="train_synthetic_stereodpnet"):
     import jax
     import jax.numpy as jnp
 
     from dualpixelface_tpu.config import Configuration
     from dualpixelface_tpu.models import model_selector
 
-    cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    cfg = Configuration(config_name, make_workspace=False)
     # production eval path: bf16 + Pallas fused regression + Pallas deform
-    cfg.data["model"]["fused_regression"] = fused
+    cfg.data["model"]["fused_regression"] = True
     cfg.data["model"]["deform_impl"] = "pallas"
     opt = cfg.get_config()
     model = model_selector(opt)
 
     # init on CPU at a small size (params are shape-agnostic; the fused /
     # pallas twins have identical param trees), then transfer
-    init_cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    init_cfg = Configuration(config_name, make_workspace=False)
     init_cfg.data["model"]["deform_impl"] = "packed8"
+    init_cfg.data["model"]["fused_regression"] = False
     init_model = model_selector(init_cfg.get_config())
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
@@ -94,13 +123,12 @@ def _build(fused=True):
     return opt, model, jax.device_put(variables, device), device
 
 
-REPS_PER_DISPATCH = 8  # forwards chained inside one executable
-
-
 def measure_forward(opt, model, variables, device):
     """Steady-state serving throughput: REPS_PER_DISPATCH forwards are
-    chained inside ONE executable (inputs perturbed per rep so XLA cannot
-    CSE them), timed over ITERS dispatches with a scalar readback barrier.
+    chained inside ONE executable via `lax.scan` (every floating camera view
+    is perturbed per rep, so no iteration can be CSE'd and the full two-tower
+    feature extraction runs each rep), timed over ITERS dispatches with a
+    scalar readback barrier.
 
     Chaining matters on this host: the tunneled TPU backend adds a measured
     ~20-30 ms of per-dispatch overhead that a production serving loop
@@ -121,15 +149,24 @@ def measure_forward(opt, model, variables, device):
     def fwd(variables, batch):
         v = cast_floating(variables, jnp.bfloat16)
         b = cast_floating(batch, jnp.bfloat16)
-        total = jnp.float32(0)
-        for i in range(REPS_PER_DISPATCH):
+
+        def body(total, i):
             bi = dict(b)
-            bi["left"] = b["left"] + jnp.bfloat16(i)
+            # perturb EVERY floating input consumed by the model so no
+            # subgraph (either feature tower, the volumes) repeats across reps
+            eps = i.astype(jnp.bfloat16)
+            for k in ("left", "right", "center"):
+                bi[k] = b[k] + eps
             results = model.apply(v, bi, train=False)
             # consume EVERY output so XLA cannot DCE the normal branch
             total = total + jnp.sum(results["pred_depth"]).astype(jnp.float32)
             if results.get("pred_normal") is not None:
                 total = total + jnp.sum(results["pred_normal"]).astype(jnp.float32)
+            return total, ()
+
+        total, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(REPS_PER_DISPATCH, dtype=jnp.int32)
+        )
         return total
 
     for _ in range(WARMUP):
@@ -143,7 +180,7 @@ def measure_forward(opt, model, variables, device):
     return BATCH * REPS_PER_DISPATCH * ITERS / dt
 
 
-def measure_train_step(opt):
+def measure_train_step():
     """Full train step (fwd+bwd+adam, bf16, cross-replica BN) at the
     reference crop, batch 2; the deform convs differentiate through the
     fused Pallas backward (kernels/deform_fused.py)."""
@@ -156,11 +193,11 @@ def measure_train_step(opt):
     from dualpixelface_tpu.train.state import create_train_state
     from dualpixelface_tpu.train.steps import make_train_step
 
-    # training path: unfused regression (fused_softargmin is an eval/serving
-    # kernel with no VJP); Pallas deform conv differentiates via its
-    # custom_vjp
     cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
     cfg.data["model"]["deform_impl"] = "pallas"
+    # round 3: fused_softargmin now has a Pallas backward (custom_vjp), so
+    # training also skips the x64 full-res logit/prob materialization
+    cfg.data["model"]["fused_regression"] = True
     opt = cfg.get_config()
     model = model_selector(opt)
     batch = jax.tree_util.tree_map(
@@ -177,66 +214,48 @@ def measure_train_step(opt):
     return TRAIN_BATCH * TRAIN_ITERS / (time.perf_counter() - t0)
 
 
-def _build_plus():
-    """stereodpnet_plus: the TPU-native serving configuration (identical
-    param tree; fast_attention + the documented fast-path deviations)."""
-    import jax
-    import jax.numpy as jnp
-
-    from dualpixelface_tpu.config import Configuration
-    from dualpixelface_tpu.models import model_selector
-
-    cfg = Configuration("train_synthetic_stereodpnet_plus", make_workspace=False)
-    cfg.data["model"]["fused_regression"] = True
-    cfg.data["model"]["deform_impl"] = "pallas"
-    opt = cfg.get_config()
-    model = model_selector(opt)
-    init_cfg = Configuration("train_synthetic_stereodpnet_plus", make_workspace=False)
-    init_cfg.data["model"]["deform_impl"] = "packed8"
-    # the Pallas kernels cannot trace on the CPU init device; both fast
-    # paths are param-free, so init with them off (identical param tree)
-    init_cfg.data["model"]["fused_regression"] = False
-    init_model = model_selector(init_cfg.get_config())
-    cpu = jax.local_devices(backend="cpu")[0]
-    with jax.default_device(cpu):
-        small = jax.tree_util.tree_map(jnp.asarray, make_bench_batch(1, 96, 96))
-        variables = init_model.init(jax.random.PRNGKey(0), small, train=False)
-    device = jax.devices()[0]
-    return opt, model, jax.device_put(variables, device), device
-
-
 def main():
+    _enable_compile_cache()
     opt, model, variables, device = _build()
     pairs_per_sec = measure_forward(opt, model, variables, device)
-    try:
-        train_pairs = measure_train_step(opt)
-    except Exception:
-        train_pairs = None
-    try:
-        plus_pairs = measure_forward(*_build_plus())
-    except Exception:
-        plus_pairs = None
-    print(
-        json.dumps(
-            {
-                "metric": "stereodpnet_fwd_dp_pairs_per_sec_per_chip_768x576",
-                "value": round(pairs_per_sec, 3),
-                "unit": "pairs/s",
-                "vs_baseline": round(pairs_per_sec / TARGET, 3),
-                "resolution": f"{HEIGHT}x{WIDTH}",
-                "batch": BATCH,
-                "train_step_pairs_per_sec_b2": (
-                    round(train_pairs, 3) if train_pairs else None
-                ),
-                "stereodpnet_plus_fwd_pairs_per_sec": (
-                    round(plus_pairs, 3) if plus_pairs else None
-                ),
-                "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
-                "anchor_flops_per_pair": FLOPS_PER_PAIR,
-                "anchor_gpu_util": GPU_UTIL,
-            }
-        )
+
+    headline = {
+        "metric": "stereodpnet_fwd_dp_pairs_per_sec_per_chip_768x576",
+        "value": round(pairs_per_sec, 3),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / TARGET, 3),
+        "resolution": f"{HEIGHT}x{WIDTH}",
+        "batch": BATCH,
+        "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
+        "anchor_flops_per_pair": FLOPS_PER_PAIR,
+        "anchor_gpu_util": GPU_UTIL,
+    }
+    # land the headline NOW — extras below must not be able to lose it
+    print(json.dumps(headline), flush=True)
+
+    train_pairs = plus_pairs = None
+    run_extras = os.environ.get("BENCH_FAST", "0") != "1"
+    if run_extras and _remaining() > 60:
+        try:
+            train_pairs = measure_train_step()
+        except Exception as e:  # noqa: BLE001 — extras must never kill the headline
+            print(f"# train-step extra failed: {e!r}", file=sys.stderr)
+    if run_extras and _remaining() > 60:
+        try:
+            plus_pairs = measure_forward(
+                *_build("train_synthetic_stereodpnet_plus")
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"# stereodpnet_plus extra failed: {e!r}", file=sys.stderr)
+
+    merged = dict(headline)
+    merged["train_step_pairs_per_sec_b2"] = (
+        round(train_pairs, 3) if train_pairs else None
     )
+    merged["stereodpnet_plus_fwd_pairs_per_sec"] = (
+        round(plus_pairs, 3) if plus_pairs else None
+    )
+    print(json.dumps(merged), flush=True)
 
 
 if __name__ == "__main__":

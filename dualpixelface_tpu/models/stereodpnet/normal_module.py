@@ -40,12 +40,14 @@ def sample_with_sort(cost: jnp.ndarray, disp: jnp.ndarray, costrange: np.ndarray
     :param disp: [B, H, W] quarter-scale disparity
     :return: (cost [B, K, H, W, C], disp_range [B, K, H, W])
     """
-    cr = np.asarray(costrange, np.float32)  # [D] uniform
+    cr = np.asarray(costrange, np.float32)  # [D]
     d = cost.shape[1]
     assert d == len(cr)
     step = float(cr[1] - cr[0]) if d > 1 else 1.0
-    assert np.allclose(np.diff(cr), step), "costrange must be uniform"
-    assert k % 2 == 0, "odd k needs the round-to-nearest window rule"
+    if k % 2 != 0 or not np.allclose(np.diff(cr), step):
+        # general path (odd k / non-uniform grid): the reference's own
+        # topk(1/|costrange - disp|) + sort + gather formulation
+        return _sample_topk_fallback(cost, disp, cr, k)
 
     f = (disp.astype(jnp.float32) - float(cr[0])) / step  # [B, H, W]
     j0 = jnp.floor(f)
@@ -62,6 +64,30 @@ def sample_with_sort(cost: jnp.ndarray, disp: jnp.ndarray, costrange: np.ndarray
         squeezed_disp = squeezed_disp + m.astype(jnp.float32) * jnp.asarray(
             cr[jj : jj + k], jnp.float32
         )[None, :, None, None]
+    return squeezed_cost, squeezed_disp
+
+
+def _sample_topk_fallback(cost, disp, cr, k):
+    """General sample_with_sort: topk of 1/|costrange - disp| over planes,
+    indices sorted ascending, per-pixel gather (ref normal_module.py:120-138).
+    Used when the fast consecutive-window rule doesn't apply (odd k or a
+    non-uniform costrange); both shipped configs (k=4, uniform grid) take the
+    masked-add fast path instead — this pays the per-pixel XLA gather cost.
+    """
+    diff = jnp.abs(
+        jnp.asarray(cr, jnp.float32)[None, :, None, None]
+        - disp[:, None].astype(jnp.float32)
+    )  # [B, D, H, W]
+    # same ordering as the reference's 1/diff score (inf on exact hits is
+    # fine for top_k; lax.top_k shares torch.topk's first-index tie rule)
+    score = 1.0 / jnp.maximum(diff, 1e-30)
+    _, idx = jax.lax.top_k(jnp.moveaxis(score, 1, -1), k)  # [B, H, W, K]
+    idx = jnp.sort(idx, axis=-1)
+    cost_bhwdc = jnp.moveaxis(cost, 1, 3)  # [B, H, W, D, C]
+    gathered = jnp.take_along_axis(cost_bhwdc, idx[..., None], axis=3)
+    squeezed_cost = jnp.moveaxis(gathered, 3, 1)  # [B, K, H, W, C]
+    disp_planes = jnp.asarray(cr, jnp.float32)[idx]  # [B, H, W, K]
+    squeezed_disp = jnp.moveaxis(disp_planes, -1, 1)  # [B, K, H, W]
     return squeezed_cost, squeezed_disp
 
 

@@ -16,3 +16,9 @@ import jax  # noqa: E402
 # sitecustomize and overrides JAX_PLATFORMS; pin CPU at the config level too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the fast tier is dominated by XLA:CPU compiles of
+# the full models (e.g. the stereodpnet init fixture); warm reruns skip them.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

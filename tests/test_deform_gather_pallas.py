@@ -76,6 +76,7 @@ def test_clamping_is_active_and_bounded():
     assert float(jnp.max(jnp.abs(unbounded - out))) > 1e-3
 
 
+@pytest.mark.slow
 def test_custom_vjp_gradients_match_twin():
     """grad of impl='pallas' == grad of the XLA twin for x, offset, weight."""
     x = _rand((1, 4, 6, 8, 5), seed=11)
@@ -133,6 +134,7 @@ def test_fused_backward_matches_direct_vjp():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
 
 
+@pytest.mark.slow
 def test_fused_backward_zero_offset_init():
     """At the zero-offset initialization every sampling position is an exact
     integer: the hat-gradient tie convention must still produce the twin's

@@ -61,3 +61,38 @@ def test_fused_softargmin_tile_invariance():
     a = np.asarray(fused_softargmin(jnp.asarray(cost), dvals, row_tile=8))
     b = np.asarray(fused_softargmin(jnp.asarray(cost), dvals, row_tile=32))
     np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_fused_softargmin_grad_matches_reference():
+    """custom_vjp (Pallas backward) vs jax.grad through the unfused path,
+    with a non-trivial downstream cotangent (weighted sum)."""
+    import jax
+
+    rng = np.random.default_rng(2)
+    b, d, h, w = 2, 8, 8, 16
+    cost = jnp.asarray(rng.standard_normal((b, d, h, w)).astype(np.float32) * 3)
+    dvals = regression_disparities(-4, 12, d, 4)
+    wgt = jnp.asarray(rng.standard_normal((b, 4 * h, 4 * w)).astype(np.float32))
+
+    def loss_fused(c):
+        return jnp.sum(wgt * fused_softargmin(c, dvals, factor=4, row_tile=8))
+
+    def loss_ref(c):
+        return jnp.sum(wgt * reference_path(c, dvals))
+
+    v_f, g_f = jax.value_and_grad(loss_fused)(cost)
+    v_r, g_r = jax.value_and_grad(loss_ref)(cost)
+    np.testing.assert_allclose(float(v_f), float(v_r), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r), rtol=2e-3, atol=2e-4)
+
+
+def test_fused_softargmin_grad_row_tile_invariance():
+    import jax
+
+    rng = np.random.default_rng(3)
+    cost = jnp.asarray(rng.standard_normal((1, 8, 8, 8)).astype(np.float32))
+    dvals = regression_disparities(-4, 12, 8, 4)
+    f = lambda c, rt: jnp.sum(fused_softargmin(c, dvals, row_tile=rt) ** 2)
+    g8 = jax.grad(lambda c: f(c, 8))(cost)
+    g32 = jax.grad(lambda c: f(c, 32))(cost)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(g32), rtol=1e-4, atol=1e-5)

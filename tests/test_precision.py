@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dualpixelface_tpu.ops.precision import cast_floating, resolve_policy
 from tests.test_end_to_end import tiny_option
@@ -21,6 +22,7 @@ def test_cast_floating_leaves_ints():
     assert out["b"].dtype == jnp.int32
 
 
+@pytest.mark.slow
 def test_bf16_train_step_keeps_fp32_masters():
     from dualpixelface_tpu.losses import loss_selector
     from dualpixelface_tpu.models import model_selector

@@ -31,6 +31,11 @@ def sdp_setup():
     from dualpixelface_tpu.models import model_selector
 
     opt = tiny_option(model_name="stereodpnet", use_normal=True)
+    # XLA deform twin: on CPU the default 'pallas' impl runs in interpret
+    # mode (this fixture's init alone took 5+ min of the fast tier); the
+    # kernel itself is covered by tests/test_deform_gather_pallas.py
+    opt.model.deform_impl = "packed8"
+    opt.model._raw["deform_impl"] = "packed8"
     model = model_selector(opt)
     batch = jax.tree_util.tree_map(jnp.asarray, make_batch(b=1, h=32, w=32))
     variables = model.init(jax.random.PRNGKey(0), batch, train=False)
@@ -102,6 +107,32 @@ def test_sample_with_sort_selects_nearest_planes():
     assert sc.shape == (b, 4, h, w, c)
     # nearest planes to 0.9 are 1.0, 0.5, 1.5, 0.0 -> sorted [0.0, 0.5, 1.0, 1.5]
     np.testing.assert_allclose(np.asarray(sd[0, :, 0, 0]), [0.0, 0.5, 1.0, 1.5])
+
+
+def test_sample_with_sort_odd_k_fallback():
+    """Odd k takes the general topk path (the reference supported any k);
+    checks against a brute-force numpy oracle of topk(1/|cr - disp|)+sort."""
+    from dualpixelface_tpu.models.stereodpnet.normal_module import sample_with_sort
+    from dualpixelface_tpu.ops.cost_volume import costrange
+
+    cr = np.asarray(costrange(-4, 12, 8), np.float32)
+    rng = np.random.default_rng(3)
+    b, d, h, w, c = 2, 8, 3, 4, 2
+    cost = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    disp = rng.uniform(cr[0] - 0.3, cr[-1] + 0.3, (b, h, w)).astype(np.float32)
+    disp[0, 0, 0] = cr[2]  # exact plane hit (tie on both neighbours)
+    for k in (3, 5):
+        sc, sd = sample_with_sort(jnp.asarray(cost), jnp.asarray(disp), cr, k)
+        assert sc.shape == (b, k, h, w, c)
+        for bi in range(b):
+            for yi in range(h):
+                for xi in range(w):
+                    diff = np.abs(cr - disp[bi, yi, xi])
+                    idx = np.sort(np.argsort(diff, kind="stable")[:k])
+                    np.testing.assert_allclose(
+                        np.asarray(sd[bi, :, yi, xi]), cr[idx])
+                    np.testing.assert_allclose(
+                        np.asarray(sc[bi, :, yi, xi]), cost[bi, idx, yi, xi])
 
 
 def test_grid_maker_3d_normalized():
