@@ -65,11 +65,13 @@ class STEREODPNET(nn.Module):
                 prob_out.append(p)
 
         normal = None
+        off1 = off2 = None
         if opt.predict_normal:
-            normals, _off1, _off2 = ANM(self.option, mindisp, maxdisp, name="normal_estimator")(
+            normals, off1s, off2s = ANM(self.option, mindisp, maxdisp, name="normal_estimator")(
                 [cost_feats[0]], [disp_out[0]], batch, train
             )
             normal = jnp.stack(normals, axis=1)  # [B, 1, H, W, 3]
+            off1, off2 = off1s[0], off2s[0]
 
         results = {
             "pred_depth": jnp.stack(disp_out, axis=1),
@@ -77,4 +79,9 @@ class STEREODPNET(nn.Module):
             "pred_normal": normal,
             "ref_feature": jnp.max(ref_fea, axis=-1),
         }
+        if opt.get("return_offsets", False):
+            # deform offset diagnostics (offset-magnitude evidence for the
+            # windowed Pallas aperture, docs/PERFORMANCE.md round 3)
+            results["anm_offset1"] = off1
+            results["anm_offset2"] = off2
         return results

@@ -1,5 +1,12 @@
-"""Validate the torch->flax ResNet conversion (and thereby the Flax ResNet
-encoder's exact parity with torchvision) using RANDOM torch weights."""
+"""Validate the torch->flax ResNet/ResNeXt conversion (and thereby the Flax
+BTS encoder's exact parity with the torchvision backbones the reference wraps,
+ref src/model/bts/modules.py:268-311) using RANDOM torch weights.
+
+torchvision is NOT importable in this environment, so the torch side is a
+minimal in-test bottleneck ResNet whose module names reproduce torchvision's
+state_dict naming exactly (conv1/bn1/layer{i}.{j}.conv{k}/downsample.*) — the
+converter consumes a saved state_dict file, never torchvision itself.
+"""
 import sys
 from pathlib import Path
 
@@ -9,7 +16,7 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-torchvision = pytest.importorskip("torchvision")
+import torch.nn as nn  # noqa: E402
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from convert_bts_encoder import convert_resnet_state_dict  # noqa: E402
@@ -17,13 +24,89 @@ from convert_bts_encoder import convert_resnet_state_dict  # noqa: E402
 from dualpixelface_tpu.models.bts.encoder import ResNetEncoder  # noqa: E402
 
 
-def test_resnet50_forward_parity():
-    tmodel = torchvision.models.resnet50(weights=None)
+class _Bottleneck(nn.Module):
+    """torchvision.models.resnet.Bottleneck with identical child names."""
+
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, groups=1,
+                 base_width=64):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = nn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(width)
+        self.conv2 = nn.Conv2d(width, width, 3, stride=stride, padding=1,
+                               groups=groups, bias=False)
+        self.bn2 = nn.BatchNorm2d(width)
+        self.conv3 = nn.Conv2d(width, planes * self.expansion, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * self.expansion)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class _ResNet(nn.Module):
+    """torchvision ResNet trunk (no fc head) with identical state_dict keys."""
+
+    def __init__(self, blocks, groups=1, width_per_group=64):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes, planes = 64, 64
+        for li, n in enumerate(blocks):
+            stride = 1 if li == 0 else 2
+            downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(planes * 4),
+            )
+            layer = [_Bottleneck(inplanes, planes, stride, downsample, groups,
+                                 width_per_group)]
+            inplanes = planes * 4
+            for _ in range(1, n):
+                layer.append(
+                    _Bottleneck(inplanes, planes, 1, None, groups, width_per_group)
+                )
+            setattr(self, f"layer{li + 1}", nn.Sequential(*layer))
+            planes *= 2
+
+    def forward(self, x):
+        y = self.relu(self.bn1(self.conv1(x)))
+        relu_feat = y
+        y = self.maxpool(y)
+        l1 = self.layer1(y)
+        l2 = self.layer2(l1)
+        l3 = self.layer3(l2)
+        l4 = self.layer4(l3)
+        return relu_feat, l1, l2, l3, l4
+
+
+@pytest.mark.parametrize("encoder,blocks,groups,wpg", [
+    ("resnet50_bts", (3, 4, 6, 3), 1, 64),
+    ("resnext50_bts", (3, 4, 6, 3), 32, 4),
+])
+def test_resnet_forward_parity(encoder, blocks, groups, wpg):
+    torch.manual_seed(0)
+    tmodel = _ResNet(blocks, groups, wpg)
     tmodel.eval()
+    with torch.no_grad():  # non-trivial running stats -> eval BN is real
+        for m in tmodel.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.uniform_(-0.1, 0.1)
+                m.running_var.uniform_(0.8, 1.25)
 
-    params, stats = convert_resnet_state_dict(tmodel.state_dict(), (3, 4, 6, 3))
+    params, stats = convert_resnet_state_dict(tmodel.state_dict(), blocks)
 
-    fmodel = ResNetEncoder("resnet50_bts")
+    fmodel = ResNetEncoder(encoder)
     x = np.random.default_rng(0).standard_normal((1, 64, 64, 3)).astype(np.float32)
     init_vars = fmodel.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
     # structural match check
@@ -36,23 +119,9 @@ def test_resnet50_forward_parity():
     )
 
     with torch.no_grad():
-        t = torch.from_numpy(np.moveaxis(x, -1, 1))
-        y = tmodel.conv1(t)
-        y = tmodel.relu(tmodel.bn1(y))
-        relu_feat = y
-        y = tmodel.maxpool(y)
-        l1 = tmodel.layer1(y)
-        l2 = tmodel.layer2(l1)
-        l3 = tmodel.layer3(l2)
-        l4 = tmodel.layer4(l3)
+        refs = tmodel(torch.from_numpy(np.moveaxis(x, -1, 1)))
 
-    for ours, ref in [
-        (skips[1], relu_feat),
-        (skips[2], l1),
-        (skips[3], l2),
-        (skips[4], l3),
-        (skips[5], l4),
-    ]:
+    for ours, ref in zip(skips[1:], refs):
         np.testing.assert_allclose(
             np.asarray(ours),
             np.moveaxis(ref.numpy(), 1, -1),

@@ -380,13 +380,51 @@ def test_stereonet_feature_extraction_parity():
 # ---------------------------------------------------------------------------
 
 
-def test_full_stereodpnet_forward_parity():
+def test_torch_dcn3d_reimpl_matches_packed8():
+    """The pure-torch dcn3d forward (tests/torch_deform_ref.py, mirroring
+    deform_im2col_cuda.cuh:27-72) vs our oracle-tested unbounded 'packed8'
+    impl, with offsets far outside the +-3 Pallas window."""
+    from dualpixelface_tpu.ops.deform_conv3d import deform_conv3d
+    from tests.torch_deform_ref import dcn_deform_conv_forward
+
+    rng = np.random.default_rng(5)
+    b, d, h, w, c, cout = 2, 4, 6, 8, 5, 7
+    x = rng.standard_normal((b, d, h, w, c)).astype(np.float32)
+    off = (rng.standard_normal((b, d, h, w, 81)) * 4.0).astype(np.float32)
+    wt = (rng.standard_normal((3, 3, 3, c, cout)) * 0.2).astype(np.float32)
+    bias = rng.standard_normal((cout,)).astype(np.float32)
+
+    ours = deform_conv3d(
+        jnp.asarray(x), jnp.asarray(off), jnp.asarray(wt), jnp.asarray(bias),
+        impl="packed8",
+    )
+
+    tx = torch.from_numpy(np.moveaxis(x, -1, 1))  # [B, C, D, H, W]
+    toff = torch.from_numpy(np.moveaxis(off, -1, 1))
+    twt = torch.from_numpy(np.ascontiguousarray(np.transpose(wt, (4, 3, 0, 1, 2))))
+    out_t = dcn_deform_conv_forward(
+        tx, twt, torch.from_numpy(bias), toff,
+        3, 3, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 64,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ours), np.moveaxis(out_t.numpy(), 1, -1), rtol=2e-4, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("use_deform", [False, True])
+def test_full_stereodpnet_forward_parity(use_deform):
+    """use_deform=False pins the convbn_3d fallback; use_deform=True runs the
+    reference ANM through a pure-torch reimplementation of the dcn3d CUDA
+    forward (tests/torch_deform_ref.py) with RANDOMIZED offset heads, vs our
+    exact unbounded 'packed8' impl — the whole deform model end-to-end."""
     import torch.nn as nn
 
     from tests.test_stereodpnet_converter import O, _install_shims
     from tests.test_stereodpnet import make_batch
+    from tests.torch_deform_ref import install_dcn_forward
 
     _install_shims()
+    install_dcn_forward()
     # the reference ASM/ANM build grids with unconditional .cuda() calls
     # (ref asm.py:32-49, normal_module.py:80-118); neutralize on CPU
     torch.Tensor.cuda = lambda self, *a, **k: self
@@ -414,7 +452,7 @@ def test_full_stereodpnet_forward_parity():
             input_channel=3, inplanes=32, block_stack=1, level=8,
             mindisp=-4, maxdisp=12, nearest=True, bilinear=True, phase=True,
             asm_activation="sigmoid", feature_fetch=False, predict_normal=True,
-            use_sampling=True, use_deform=False, dsample_num=4,
+            use_sampling=True, use_deform=use_deform, dsample_num=4,
         ),
         dataset=dict(flip_lr=False),
     )
@@ -436,6 +474,13 @@ def test_full_stereodpnet_forward_parity():
             if isinstance(m, (nn.BatchNorm2d, nn.BatchNorm3d)):
                 m.running_mean.uniform_(-0.1, 0.1)
                 m.running_var.uniform_(0.8, 1.25)
+        if use_deform:
+            # zero-init offset heads would make the deform conv degenerate to
+            # a plain conv; randomize them so real fractional offsets flow
+            torch.manual_seed(7)
+            for dm in (tm.normal_estimator.deform_conv1, tm.normal_estimator.deform_conv2):
+                dm.conv_offset.weight.uniform_(-0.05, 0.05)
+                dm.conv_offset.bias.uniform_(-0.6, 0.6)
 
     params, stats, leftover = convert_stereodpnet_state_dict(tm.state_dict(), 1)
     assert leftover == [], leftover[:10]
@@ -473,7 +518,10 @@ def test_full_stereodpnet_forward_parity():
         "train_synthetic_stereodpnet", make_workspace=False,
         overrides=dict(batch_size=1),
     )
-    cfg.data["model"]["use_deform"] = False
+    cfg.data["model"]["use_deform"] = use_deform
+    # 'packed8' = the exact unbounded gather formulation matching the CUDA
+    # im2col sampling (the 'pallas' default is the windowed TPU semantic)
+    cfg.data["model"]["deform_impl"] = "packed8"
     cfg.data["model"]["compat_nearest"] = True
     # reproduce the reference's per-direction grid cache, which freezes the
     # shift at costrange[0] for every plane (ref asm.py:28-31) — see
