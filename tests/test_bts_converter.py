@@ -92,7 +92,7 @@ class _ResNet(nn.Module):
 
 @pytest.mark.parametrize("encoder,blocks,groups,wpg", [
     ("resnet50_bts", (3, 4, 6, 3), 1, 64),
-    ("resnext50_bts", (3, 4, 6, 3), 32, 4),
+    pytest.param("resnext50_bts", (3, 4, 6, 3), 32, 4, marks=pytest.mark.slow),
 ])
 def test_resnet_forward_parity(encoder, blocks, groups, wpg):
     torch.manual_seed(0)

@@ -42,6 +42,7 @@ def sdp_setup():
     return opt, model, batch, variables
 
 
+@pytest.mark.slow  # ~50 s one-time full-model CPU compile in the fixture
 def test_eval_shapes(sdp_setup):
     opt, model, batch, variables = sdp_setup
     results = model.apply(variables, batch, train=False)
@@ -56,6 +57,7 @@ def test_eval_shapes(sdp_setup):
     assert (n >= -1.0).all() and (n <= 1.0).all()
 
 
+@pytest.mark.slow  # shares the sdp_setup compile cost
 def test_train_shapes_and_loss(sdp_setup):
     from dualpixelface_tpu.losses import loss_selector
 
@@ -148,6 +150,7 @@ def test_grid_maker_3d_normalized():
     assert v.min() >= -1e-5 and v.max() <= 1.0 + 1e-5
 
 
+@pytest.mark.slow  # ~60 s full-model CPU compile when the fixture isn't warm
 def test_stereodpnet_plus_matches_stereodpnet_at_init():
     """stereodpnet_plus = the TPU fast path of the SAME architecture: its
     param tree is identical and (zero-init offsets => aperture inert,
