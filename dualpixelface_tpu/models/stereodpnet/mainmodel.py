@@ -34,8 +34,17 @@ class STEREODPNET(nn.Module):
 
         feature_extraction = FeatureExtraction(self.option, name="feature_extraction")
         ref_img, tar_img = select_ref_target(batch, self.option)
-        ref_fea = feature_extraction(ref_img, train)  # [B, H/4, W/4, C]
-        tar_fea = feature_extraction(tar_img, train)
+        # both views through ONE batched tower call (identical weights) —
+        # better MXU shapes and half the fixed per-call cost vs the
+        # reference's two sequential calls (ref mainmodel.py:86-87).
+        # Deviation (documented): train-mode BN batch statistics pool both
+        # views instead of being computed per call — same class as the
+        # global-batch SyncBN deviation (COMPONENTS.md 2.9); eval is exact.
+        b = ref_img.shape[0]
+        both_fea = feature_extraction(
+            jnp.concatenate([ref_img, tar_img], axis=0), train
+        )  # [2B, H/4, W/4, C]
+        ref_fea, tar_fea = both_fea[:b], both_fea[b:]
 
         # remat: the ASM attention otherwise saves its [B*D, 3, H/4, W/4, C]
         # activations per conv for the backward — several GB at the 768x576
