@@ -48,7 +48,7 @@ WBLK = 8        # output columns per w-block
 KTAPS = 27      # 3x3x3 taps
 TAP_PAD = 28    # padded so (tap, dout) pairs = 28*4 = 112 lanes x 8 wo = 896
 D_PAD = 4       # kernel supports D <= 4 (ANM uses D = 4)
-CAND = D_PAD * DH_ROWS * WWIN  # 512 sampling candidates per (h, w-block)
+CAND = D_PAD * DH_ROWS * WWIN  # sampling candidates per (h, w-block)
 NPL = TAP_PAD * D_PAD * WBLK   # 896 output pair-lanes per h row
 HGRP = 4        # h rows whose voxels share one 128-lane dot group
 EPS = 1.0 / 1024.0
@@ -65,17 +65,23 @@ def _hat(iota, pos):
 
 
 def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
-    """xw_ref: [1, 1, 1, D_PAD, hb+7, WWIN, cpad]  w-windowed slab (cdt)
+    """xw_ref: [1, 1, 1, hb+7, WWIN, D_PAD*cpad]  w-windowed slab (cdt)
     pos_ref:  [1, 1, hb, 3, NPL]            (pd, ph_rel, pw_rel) f32
     w_ref:    [TAP_PAD, cpad, cout]         weights (cdt)
     out_ref:  [1, 1, hb//HGRP, 128, cout]   f32 voxel rows (h4, dout, wo)
     sb_ref:   [TAP_PAD, cpad, 128]          cdt scratch (per 4-row group)
 
-    The sampling "table" [(dp, dh, w) = CAND rows, cpad] for each h is just
-    32 static row-slices of the slab — no transposed table is materialized
+    The sampling "table" [(dh, w) = 128 rows, D_PAD*cpad] for each h is just
+    8 static row-slices of the slab — no transposed table is materialized
     anywhere (v3's XLA-side table prep was ~25 ms of shuffle copies per
-    forward): the dot contracts the CAND dim over the ROWS of both operands,
-    so the MXU absorbs the transpose.
+    forward): the dot contracts the (dh, w) dim over the ROWS of both
+    operands, so the MXU absorbs the transpose.
+
+    v5 (round 3): the D planes ride the slab's LANE dim — the sampling dot's
+    M dim grows cpad -> D_PAD*cpad (48 -> 192 at the ANM shape, 37% -> 75%
+    MXU row utilization at identical MACs, K = dh*w = exactly 128) and the
+    separable D-hat is applied afterwards as a cheap lane-local reduction
+    (D_PAD*cpad*NPL VPU madds) instead of inflating the candidate space 4x.
 
     cdt is the compute dtype: bf16 when the input was bf16 (production), f32
     when it was f32 (keeps the kernel comparable to the XLA twin in tests).
@@ -87,7 +93,7 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
     wo_l = (jax.lax.broadcasted_iota(jnp.int32, (1, NPL), 1) % WBLK).astype(
         jnp.float32
     )
-    i_d = fiota((D_PAD, 1, 1, NPL), 0)
+    i_d = fiota((D_PAD, 1, NPL), 0)
     i_h = fiota((1, DH_ROWS, 1, NPL), 1)
     i_w = fiota((1, 1, WWIN, NPL), 2)
 
@@ -104,34 +110,33 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
             ph = pos_ref[0, 0, h, 1:2, :] + AP          # in [0, 7)
             pw = pos_ref[0, 0, h, 2:3, :] + (AP + 1) + wo_l  # in [0, 16)
 
-            # separable trilinear weights over the candidate window:
-            # S3[(dp, dh, w), lane] = hat_d * hat_h * hat_w — the dot below
-            # contracts them against the slab rows: gather + trilinear +
-            # boundary zeroing in one MXU pass. Hats subtract in f32
-            # (positions span [0,16): bf16 ulp there is 1/16) and multiply
-            # in cdt.
-            ad = _hat(i_d, pd).astype(cdt)    # [D_PAD, 1, 1, NPL]
+            # separable trilinear weights over the (dh, w) window:
+            # S2[(dh, w), lane] = hat_h * hat_w — the dot below contracts
+            # them against the slab rows: gather + H/W interpolation +
+            # boundary zeroing in one MXU pass; the D hat follows on the
+            # VPU. Hats subtract in f32 (positions span [0,16): bf16 ulp
+            # there is 1/16) and multiply in cdt.
+            ad = _hat(i_d, pd)                # [D_PAD, 1, NPL] f32
             ah = _hat(i_h, ph).astype(cdt)    # [1, DH_ROWS, 1, NPL]
             aw = _hat(i_w, pw).astype(cdt)    # [1, 1, WWIN, NPL]
-            s3 = (ad * (ah * aw)).reshape(CAND, NPL)
+            s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
 
-            # CAND rows of row h: slab rows (dp, h+dh, :) — static slices
+            # (dh, w) rows of row h: slab rows (h+dh, :) — static slices
             tsrc = jnp.concatenate(
-                [
-                    xw_ref[0, 0, 0, dp, h + dh]
-                    for dp in range(D_PAD)
-                    for dh in range(DH_ROWS)
-                ],
+                [xw_ref[0, 0, 0, h + dh] for dh in range(DH_ROWS)],
                 axis=0,
-            )  # [CAND, cpad]
+            )  # [DH_ROWS*WWIN, D_PAD*cpad]
 
-            cols = jax.lax.dot_general(
+            cols4 = jax.lax.dot_general(
                 tsrc,
-                s3,
+                s2,
                 (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
-            )  # [cpad, NPL] — all taps/douts/wos of row h at once
+            ).reshape(D_PAD, cpad, NPL)  # per-plane partial columns, f32
+
+            # D hat: lane-local contraction over the 4 planes
+            cols = jnp.sum(cols4 * ad, axis=0)  # [cpad, NPL] f32
 
             cb = cols.astype(cdt)
             # lane p*8+wo, p = tap*4 + dout: tap tau = lanes [32*tau, 32*tau+32)
@@ -153,13 +158,14 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
 
 
 def _prep_slab(x, cpad, dtype, hb):
-    """x [B, D<=4, H, W, C] -> slab [B, nWB, nHB, D_PAD, hb+7, WWIN, cpad].
+    """x [B, D<=4, H, W, C] -> slab [B, nWB, nHB, hb+7, WWIN, D_PAD*cpad].
 
     Pure padding + slicing (w windows are a 2x duplication of contiguous
-    8-blocks, h blocks carry a 7-row halo) with one MAJOR-dims-only
-    transpose — the minor (WWIN, cpad) dims never move, so every copy runs
-    at memcpy speed. v3 materialized a fully transposed [.., cpad, CAND]
-    table instead: ~25 ms of shuffle copies per forward at the ANM shape.
+    8-blocks, h blocks carry a 7-row halo) around ONE lane-folding
+    relayout (D moves next to C so the planes ride the lane dim — what buys
+    the kernel its M = D_PAD*cpad dot, see _kernel). v3 materialized a fully
+    transposed [.., cpad, CAND] table instead: ~25 ms of shuffle copies per
+    forward at the ANM shape.
     """
     b, d, h, w, c = x.shape
     hp = -(-h // hb) * hb
@@ -175,14 +181,18 @@ def _prep_slab(x, cpad, dtype, hb):
             (0, cpad - c),
         ),
     ).astype(dtype)
+    # fold the D planes into lanes: [B, Hp+7, Wp, D_PAD*cpad]
+    x = x.transpose(0, 2, 3, 1, 4).reshape(
+        b, hp + DH_ROWS - 1, x.shape[3], D_PAD * cpad
+    )
     # w windows: nwb blocks of WBLK with WWIN-wide views = adjacent 8-blocks
-    bw = x.reshape(b, D_PAD, hp + DH_ROWS - 1, nwb + 1, WBLK, cpad)
-    xw = jnp.concatenate([bw[:, :, :, :-1], bw[:, :, :, 1:]], axis=4)
-    # [B, D_PAD, Hp+7, nWB, WWIN, cpad]; h blocks with the 7-row halo
+    bw = x.reshape(b, hp + DH_ROWS - 1, nwb + 1, WBLK, D_PAD * cpad)
+    xw = jnp.concatenate([bw[:, :, :-1], bw[:, :, 1:]], axis=3)
+    # [B, Hp+7, nWB, WWIN, D_PAD*cpad]; h blocks with the 7-row halo
     xw = jnp.stack(
-        [xw[:, :, i * hb : i * hb + hb + DH_ROWS - 1] for i in range(nhb)], axis=2
-    )  # [B, D_PAD, nHB, hb+7, nWB, WWIN, cpad]
-    return xw.transpose(0, 4, 2, 1, 3, 5, 6)
+        [xw[:, i * hb : i * hb + hb + DH_ROWS - 1] for i in range(nhb)], axis=1
+    )  # [B, nHB, hb+7, nWB, WWIN, D_PAD*cpad]
+    return xw.transpose(0, 3, 1, 2, 4, 5)
 
 
 def _prep_positions(offset, d, hp):
@@ -207,17 +217,18 @@ def _prep_positions(offset, d, hp):
     pw = jnp.clip(kw[None, None, None, None, :] + off[..., 2], -AP, AP + 1 - EPS)
 
     pos = jnp.stack([pd, ph, pw], axis=-1)  # [B, Do, Ho, Wo, K, 3]
-    # tap-major pairs [B, Ho, Wo, K, Do, 3] padded to [.., TAP_PAD, D_PAD, 3]
-    pos = pos.transpose(0, 2, 3, 4, 1, 5)
+    # pad every axis in the compact layout (arithmetic above fuses into the
+    # offset head's epilogue), then ONE relayout into the kernel's
+    # tap-major lane order — round 2 did two minor-dim transposes here,
+    # ~300 MB of extra copy traffic per conv at the 768x576 ANM shape
+    nwb = -(-wo // WBLK)
     pos = jnp.pad(
         pos,
-        ((0, 0), (0, hp - ho), (0, 0), (0, TAP_PAD - KTAPS), (0, D_PAD - do), (0, 0)),
+        ((0, 0), (0, D_PAD - do), (0, hp - ho), (0, nwb * WBLK - wo),
+         (0, TAP_PAD - KTAPS), (0, 0)),
     )
-    nwb = -(-wo // WBLK)
-    pos = jnp.pad(pos, ((0, 0), (0, 0), (0, nwb * WBLK - wo), (0, 0), (0, 0), (0, 0)))
-    # [B, Hp, nWB, WBLK, 112p, 3] -> [B, nWB, Hp, 3, 112, WBLK]
-    pos = pos.reshape(b, hp, nwb, WBLK, TAP_PAD * D_PAD, 3)
-    pos = pos.transpose(0, 2, 1, 5, 4, 3)
+    pos = pos.reshape(b, D_PAD, hp, nwb, WBLK, TAP_PAD, 3)
+    pos = pos.transpose(0, 3, 2, 6, 5, 1, 4)  # [B, nWB, Hp, 3, TAP_PAD, D_PAD, WBLK]
     return pos.reshape(b, nwb, hp, 3, NPL)
 
 
@@ -239,8 +250,8 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
+                (1, 1, 1, hb + DH_ROWS - 1, WWIN, D_PAD * cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -354,7 +365,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
     wo_l = (jax.lax.broadcasted_iota(jnp.int32, (1, NPL), 1) % WBLK).astype(
         jnp.float32
     )
-    i_d = fiota((D_PAD, 1, 1, NPL), 0)
+    i_d = fiota((D_PAD, 1, NPL), 0)
     i_h = fiota((1, DH_ROWS, 1, NPL), 1)
     i_w = fiota((1, 1, WWIN, NPL), 2)
 
@@ -372,7 +383,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
     def _init_gw():
         gw_ref[:, :, :] = jnp.zeros(gw_ref.shape, gw_ref.dtype)
 
-    gsl_ref[:, :, :, :] = jnp.zeros(gsl_ref.shape, gsl_ref.dtype)
+    gsl_ref[:, :, :] = jnp.zeros(gsl_ref.shape, gsl_ref.dtype)
     w_flat = w_ref[:, :, :].reshape(TAP_PAD * cpad, cout)
     gw_acc = jnp.zeros((TAP_PAD * cpad, cout), jnp.float32)
 
@@ -389,27 +400,24 @@ def _bwd_kernel(hb, cpad, cout, cdt,
             ph = pos_ref[0, 0, h, 1:2, :] + AP
             pw = pos_ref[0, 0, h, 2:3, :] + (AP + 1) + wo_l
 
-            ad_f = _hat(i_d, pd)
+            ad_f = _hat(i_d, pd)                # [D_PAD, 1, NPL] f32
             ah_f = _hat(i_h, ph)
             aw_f = _hat(i_w, pw)
-            ad, ah, aw = ad_f.astype(cdt), ah_f.astype(cdt), aw_f.astype(cdt)
-            ahw = ah * aw                       # [1, 8, 16, NPL]
-            s3 = (ad * ahw).reshape(CAND, NPL)
+            ah, aw = ah_f.astype(cdt), aw_f.astype(cdt)
+            s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
 
             tsrc = jnp.concatenate(
-                [
-                    xw_ref[0, 0, 0, dp, h + dh]
-                    for dp in range(D_PAD)
-                    for dh in range(DH_ROWS)
-                ],
+                [xw_ref[0, 0, 0, h + dh] for dh in range(DH_ROWS)],
                 axis=0,
-            )  # [CAND, cpad] cdt
+            )  # [DH_ROWS*WWIN, D_PAD*cpad] cdt
 
-            # forward cols (recomputed) -> SB for gW
-            cols = jax.lax.dot_general(
-                tsrc, s3, (((0,), (0,)), ((), ())),
+            # forward cols (recomputed) -> SB for gW; per-plane partials
+            # feed g_ad below (v5: D rides the lane dim, see _kernel)
+            cols4 = jax.lax.dot_general(
+                tsrc, s2, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            ).astype(cdt)  # [cpad, NPL]
+            ).reshape(D_PAD, cpad, NPL)  # f32
+            cols = jnp.sum(cols4 * ad_f, axis=0).astype(cdt)  # [cpad, NPL]
             for tau in range(TAP_PAD):
                 sb_ref[tau, :, hs * 32 : (hs + 1) * 32] = cols[
                     :, tau * 32 : (tau + 1) * 32
@@ -421,32 +429,32 @@ def _bwd_kernel(hb, cpad, cout, cdt,
                 axis=1,
             )  # [cpad, NPL]
 
-            # gslab: accumulate S3 gcols^T into the slab rows of this h
+            # adg[(dp, c), l] = ad * gcols — the lane-folded cotangent both
+            # slab- and position-gradient dots consume
+            adg = (ad_f.astype(cdt) * gcols[None]).reshape(D_PAD * cpad, NPL)
+
+            # gslab: accumulate S2 adg^T into the slab rows of this h
             gt = jax.lax.dot_general(
-                s3, gcols, (((1,), (1,)), ((), ())),
+                s2, adg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            )  # [CAND, cpad] f32
-            gtv = gt.reshape(D_PAD, DH_ROWS, WWIN, cpad)
-            for dp in range(D_PAD):
-                for dh in range(DH_ROWS):
-                    gsl_ref[dp, h + dh] = gsl_ref[dp, h + dh] + gtv[dp, dh]
+            ).reshape(DH_ROWS, WWIN, D_PAD * cpad)  # f32
+            for dh in range(DH_ROWS):
+                gsl_ref[h + dh] = gsl_ref[h + dh] + gt[dh]
 
-            # gS3 -> hat chain -> per-lane position gradients
-            gs3 = jax.lax.dot_general(
-                tsrc, gcols, (((1,), (0,)), ((), ())),
+            # position gradients through the separable hats:
+            #   g_ad = <cols4, gcols>_c ; T = tsrc adg^T ; g_ah = <aw, T>_w ;
+            #   g_aw = <ah, T>_dh
+            g_ad = jnp.sum(cols4 * gcols[None].astype(jnp.float32), axis=1)
+            t_hw = jax.lax.dot_general(
+                tsrc, adg, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
-            ).reshape(D_PAD, DH_ROWS, WWIN, NPL)  # f32
+            ).reshape(1, DH_ROWS, WWIN, NPL)  # f32
+            g_ah = jnp.sum(t_hw * aw_f, axis=(0, 2))            # [DH_ROWS, NPL]
+            g_aw = jnp.sum(t_hw * ah_f, axis=(0, 1))            # [WWIN, NPL]
 
-            gs3c = gs3.astype(cdt)
-            g_ad = jnp.sum(gs3c * ahw, axis=(1, 2))            # [D_PAD, NPL]
-            adw = (ad * aw)                                     # [D_PAD,1,WWIN,NPL]
-            g_ah = jnp.sum(gs3c * adw, axis=(0, 2))             # [DH_ROWS, NPL]
-            adh = (ad * ah)                                     # [D_PAD,DH_ROWS,1,NPL]
-            g_aw = jnp.sum(gs3c * adh, axis=(0, 1))             # [WWIN, NPL]
-
-            g_pd = jnp.sum(g_ad.astype(jnp.float32) * _hat_grad(i_d[:, 0, 0], pd), axis=0)
-            g_ph = jnp.sum(g_ah.astype(jnp.float32) * _hat_grad(i_h[0, :, 0], ph), axis=0)
-            g_pw = jnp.sum(g_aw.astype(jnp.float32) * _hat_grad(i_w[0, 0, :], pw), axis=0)
+            g_pd = jnp.sum(g_ad * _hat_grad(i_d[:, 0], pd), axis=0)
+            g_ph = jnp.sum(g_ah * _hat_grad(i_h[0, :, 0], ph), axis=0)
+            g_pw = jnp.sum(g_aw * _hat_grad(i_w[0, 0, :], pw), axis=0)
             gpos_ref[0, 0, h, 0, :] = g_pd
             gpos_ref[0, 0, h, 1, :] = g_ph
             gpos_ref[0, 0, h, 2, :] = g_pw
@@ -458,7 +466,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
         )
 
     gw_ref[:, :, :] = gw_ref[:, :, :] + gw_acc.reshape(TAP_PAD, cpad, cout)
-    gslab_ref[0, 0, 0] = gsl_ref[:, :, :, :].astype(cdt)
+    gslab_ref[0, 0, 0] = gsl_ref[:, :, :].astype(cdt)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "hb"))
@@ -491,8 +499,8 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
         grid=(b, nwb, nhb),
         in_specs=[
             pl.BlockSpec(
-                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
+                (1, 1, 1, hb + DH_ROWS - 1, WWIN, D_PAD * cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -513,8 +521,8 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, 1, 1, D_PAD, hb + DH_ROWS - 1, WWIN, cpad),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0, 0),
+                (1, 1, 1, hb + DH_ROWS - 1, WWIN, D_PAD * cpad),
+                lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -535,7 +543,7 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
         ],
         scratch_shapes=[
             pltpu.VMEM((TAP_PAD, cpad, 128), cdt),
-            pltpu.VMEM((D_PAD, hb + DH_ROWS - 1, WWIN, cpad), jnp.float32),
+            pltpu.VMEM((hb + DH_ROWS - 1, WWIN, D_PAD * cpad), jnp.float32),
         ],
         interpret=interpret,
     )(xw, pos, wmat, gp)
