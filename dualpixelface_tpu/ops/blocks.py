@@ -95,6 +95,15 @@ class _DSliceConv3D(nn.Module):
     kernel_init: Any = he_normal_out
     bias_init: Any = nn.initializers.zeros
     dtype: Dtype = None
+    # kd folding side: "out" folds the 3 kd taps into OUTPUT channels
+    # (N = 3*Co — feeds the MXU's N appetite; costs a channel-group
+    # relayout + D-shifted adds on the output), "in" folds them into INPUT
+    # channels (the D shifts become major-dim slices of x BEFORE the conv,
+    # the output needs no relayout; N = Co). "in" is the layout-friendly
+    # choice when 3*Co spills past one 128-lane tile (e.g. the 81-channel
+    # deform offset heads, whose 243-channel-group copies showed in the
+    # 768x576 HLO); "out" when Co is small and the MXU is the constraint.
+    dfold: str = "out"
 
     @nn.compact
     def __call__(self, x):
@@ -104,6 +113,29 @@ class _DSliceConv3D(nn.Module):
         dt = x.dtype if self.dtype is None else self.dtype
         sd, sh, sw = self.strides
         do = (d + 2 - 3) // sd + 1
+        if self.dfold == "in":
+            # [B, D, H, W, C] -> per-kd D-shifted planes concatenated on the
+            # channel axis: xin[b, i, h, w, (kd, c)] = xpad[b, i*sd + kd]
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+            xin = jnp.concatenate(
+                [xp[:, kd : kd + (do - 1) * sd + 1 : sd] for kd in range(3)],
+                axis=-1,
+            )
+            # kernel [kd,3,3,C,Co] -> [3,3,(kd,C),Co]
+            kin = kernel.transpose(1, 2, 0, 3, 4).reshape(3, 3, 3 * c, co)
+            y = jax.lax.conv_general_dilated(
+                xin.reshape(b * do, h, w, 3 * c).astype(dt),
+                kin.astype(dt),
+                (sh, sw),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )
+            out = y.reshape(b, do, y.shape[1], y.shape[2], co)
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
+        assert self.dfold == "out", self.dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
         y = jax.lax.conv_general_dilated(

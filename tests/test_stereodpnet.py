@@ -180,3 +180,72 @@ def test_stereodpnet_plus_matches_stereodpnet_at_init():
         np.asarray(out_b["pred_depth"]), np.asarray(out_p["pred_depth"]),
         rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.slow  # ~5 min on a 1-core host: one train-step compile + 2 eval compiles
+def test_stereodpnet_plus_receipt_after_training():
+    """The stereodpnet_plus receipt (VERDICT r2 item 8): train `stereodpnet`
+    (exact packed8 path), then evaluate the SAME weights under
+    `stereodpnet_plus` — ALL of its fast paths live: the windowed Pallas
+    deform semantics (`deform_impl='pallas'`; its `_windowed_xla` twin on
+    CPU), `fast_attention` (conv-then-shift seams), `fused_regression`
+    (interpret-mode Pallas softargmin on CPU).
+
+    Continuous eval metrics (abs_rel/abs_diff/sq_rel/rmse/rmse_log, normal
+    mean angle + angular RMSE) must agree within the 0.5% parity budget
+    (BASELINE.json north_star). Discrete a1/a2/a3 threshold accuracies count
+    pixels crossing 1.01, so near-chance predictions flip pixels on tiny
+    output changes — those assert a small ABSOLUTE delta instead (measured
+    0.0012 at this scale; budgeted 0.005).
+    """
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.losses import loss_selector
+    from dualpixelface_tpu.metrics.absolute_dp import compute_errors_test_depth
+    from dualpixelface_tpu.metrics.normal_dp import cal_normal_acc
+    from dualpixelface_tpu.models import model_selector
+    from dualpixelface_tpu.ops.geometry import disp2depth
+    from dualpixelface_tpu.train.state import create_train_state
+    from dualpixelface_tpu.train.steps import make_train_step
+
+    H = W = 64
+    opt = tiny_option(model_name="stereodpnet", init_lr=1e-3, scheduler="none")
+    base = model_selector(opt)
+
+    train_batch = jax.tree_util.tree_map(jnp.asarray, make_batch(b=2, h=H, w=W, rng_seed=1))
+    state = create_train_state(base, opt, train_batch, steps_per_epoch=1)
+    step = make_train_step(base, loss_selector(opt))
+    first = last = None
+    for _ in range(10):
+        state, out = step(state, train_batch)
+        last = float(out["final_loss"])
+        first = first if first is not None else last
+    assert last < first, f"training did not move: {first} -> {last}"
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    cfg_p = Configuration(
+        "train_synthetic_stereodpnet", make_workspace=False,
+        overrides=dict(model_name="stereodpnet_plus", batch_size=2),
+    )
+    plus = model_selector(cfg_p.get_config())
+
+    eval_batch = jax.tree_util.tree_map(jnp.asarray, make_batch(b=2, h=H, w=W, rng_seed=99))
+
+    def measure(model):
+        out = model.apply(variables, eval_batch, train=False)
+        depth = np.asarray(disp2depth(out["pred_depth"][:, 0:1], eval_batch["abvalue"]))[:, 0]
+        gt = np.asarray(eval_batch["depth"])
+        mask = np.asarray(eval_batch["mask"])
+        errs = compute_errors_test_depth(gt, depth, mask, 1.01)
+        nm = cal_normal_acc(
+            np.asarray(eval_batch["normal"]), np.asarray(out["pred_normal"][:, 0]), mask
+        )
+        cont = np.array([errs[0], errs[1], errs[2], errs[3], errs[4], nm[0], nm[1]], np.float64)
+        thresh = np.array(errs[5:8], np.float64)
+        return cont, thresh
+
+    cont_b, th_b = measure(base)
+    cont_p, th_p = measure(plus)
+
+    rel = np.abs(cont_p - cont_b) / np.maximum(np.abs(cont_b), 1e-9)
+    assert rel.max() <= 5e-3, f"continuous metric deltas exceed 0.5%: {rel}"
+    assert np.abs(th_p - th_b).max() <= 5e-3, f"threshold deltas: {th_p - th_b}"

@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""A/B the two kd-folding layouts of _DSliceConv3D on device.
+
+Shapes of interest (768x576 ANM pipeline):
+  * offset head: [4, 4, 192, 144, 67] -> 81  (3*Co = 243 channel groups in
+    the "out" fold — the relayout copies visible in the round-3 HLO dump)
+  * hourglass   : [4, 8, 192, 144, 32] -> 32 (3*Co = 96, fits one lane tile)
+
+Timing: chained R reps inside one jit (inputs perturbed per rep so XLA
+cannot CSE), marginal over R to cancel dispatch overhead (~20-30 ms on the
+tunneled backend — docs/PERFORMANCE.md methodology).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dualpixelface_tpu.ops.blocks import _DSliceConv3D
+
+
+def timeit(fn, *args, iters=10):
+    out = fn(*args)
+    float(jax.tree_util.tree_leaves(out)[0].sum())  # warm + barrier
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    float(jax.tree_util.tree_leaves(out)[0].sum())
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16):
+    b, d, h, w, c = shape
+    mod = _DSliceConv3D(co, dfold=dfold)
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal(shape), dtype
+    )
+    var = mod.init(jax.random.PRNGKey(0), jnp.zeros(shape, dtype))
+
+    @jax.jit
+    def chained(x):
+        def body(carry, i):
+            y = mod.apply(var, carry + i.astype(dtype) * 1e-3)
+            # keep shapes compatible for the scan carry: reduce back to x
+            return carry + y.mean() * 0, y.mean()
+        _, outs = jax.lax.scan(body, x, jnp.arange(reps))
+        return outs.sum()
+
+    ms = timeit(chained, x)
+    per = ms / reps
+    print(f"  dfold={dfold!r}: {ms:8.2f} ms / {reps} reps = {per:6.2f} ms/conv")
+    return per
+
+
+def main():
+    print(f"devices: {jax.devices()}")
+    for label, shape, co in [
+        ("offset-head 67->81", (4, 4, 192, 144, 67), 81),
+        ("hourglass   32->32", (4, 8, 192, 144, 32), 32),
+    ]:
+        print(label)
+        for dfold in ("out", "in"):
+            bench(shape, co, dfold)
+
+
+if __name__ == "__main__":
+    main()
