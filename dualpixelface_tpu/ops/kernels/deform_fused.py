@@ -48,7 +48,6 @@ WBLK = 8        # output columns per w-block
 KTAPS = 27      # 3x3x3 taps
 TAP_PAD = 28    # padded so (tap, dout) pairs = 28*4 = 112 lanes x 8 wo = 896
 D_PAD = 4       # kernel supports D <= 4 (ANM uses D = 4)
-CAND = D_PAD * DH_ROWS * WWIN  # sampling candidates per (h, w-block)
 NPL = TAP_PAD * D_PAD * WBLK   # 896 output pair-lanes per h row
 HGRP = 4        # h rows whose voxels share one 128-lane dot group
 EPS = 1.0 / 1024.0
