@@ -286,10 +286,9 @@ def _windowed_xla(x, offset, weight, bias):
 
 
 def _on_tpu() -> bool:
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return dd.platform == "tpu"
-    return jax.default_backend() == "tpu"
+    from dualpixelface_tpu.ops.target import tpu_lowering
+
+    return tpu_lowering()
 
 
 @jax.custom_vjp

@@ -302,7 +302,8 @@ def deform_conv3d_fused(x, offset, weight, bias=None, interpret=None):
     :param weight: [3, 3, 3, C, Cout]
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from dualpixelface_tpu.ops.target import tpu_lowering
+        interpret = not tpu_lowering()
     b, d, h, w, c = x.shape
     assert d <= D_PAD, f"kernel supports D<={D_PAD}; got {d}"
     assert offset.shape == (b, d, h, w, 3 * KTAPS), offset.shape
@@ -561,7 +562,8 @@ def deform_conv3d_fused_bwd(x, offset, weight, bias, g, interpret=None):
     tests/test_deform_gather_pallas.py's custom-vjp suite).
     """
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from dualpixelface_tpu.ops.target import tpu_lowering
+        interpret = not tpu_lowering()
     b, d, h, w, c = x.shape
     cout = weight.shape[-1]
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32

@@ -176,7 +176,8 @@ def _fsam(cost32, dvals_tuple, factor, row_tile):
         ),
     )
 
-    interpret = jax.default_backend() != "tpu"
+    from dualpixelface_tpu.ops.target import tpu_lowering
+    interpret = not tpu_lowering()
     return pl.pallas_call(
         functools.partial(_kernel, wd, dvals_np),
         out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
@@ -215,7 +216,8 @@ def _fsam_bwd(dvals_tuple, factor, row_tile, cost32, g):
         ),
     )
 
-    interpret = jax.default_backend() != "tpu"
+    from dualpixelface_tpu.ops.target import tpu_lowering
+    interpret = not tpu_lowering()
     dcost = pl.pallas_call(
         functools.partial(_bwd_kernel, wd, dvals_np),
         out_shape=jax.ShapeDtypeStruct((b, d, h, w), jnp.float32),
