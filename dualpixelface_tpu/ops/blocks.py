@@ -135,7 +135,54 @@ class _DSliceConv3D(nn.Module):
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
-        assert self.dfold == "out", self.dfold
+        if self.dfold == "kdsum":
+            # three 2-D convs on D-shifted views (major-dim slices), plain
+            # adds — no 3*Co intermediate, no channel-group machinery at all
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
+            out = None
+            for kd in range(3):
+                xs = xp[:, kd : kd + (do - 1) * sd + 1 : sd]
+                y = jax.lax.conv_general_dilated(
+                    xs.reshape(b * do, h, w, c),
+                    kernel[kd].astype(dt),
+                    (sh, sw),
+                    [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=dt,
+                )
+                out = y if out is None else out + y
+            out = out.reshape(b, do, out.shape[1], out.shape[2], co)
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
+        if self.dfold == "bgc":
+            # ONE batch-grouped conv: the kd shifts ride the BATCH axis
+            # (major-dim concat of three D-shifted views), each batch group
+            # convolves with its own kd tap plane, and the epilogue is a
+            # pure lane-local (3, co) group sum — no shifted adds
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
+            xcat = jnp.concatenate(
+                [
+                    xp[:, kd : kd + (do - 1) * sd + 1 : sd].reshape(b * do, h, w, c)
+                    for kd in range(3)
+                ],
+                axis=0,
+            )  # [(kd, b*do), h, w, c]
+            kbg = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
+            y = jax.lax.conv_general_dilated(
+                xcat,
+                kbg.astype(dt),
+                (sh, sw),
+                [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                batch_group_count=3,
+                preferred_element_type=dt,
+            )  # [b*do, ho, wo, (kd, co)]
+            out = y.reshape(b, do, y.shape[1], y.shape[2], 3, co).sum(axis=-2)
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
+        assert self.dfold in ("out", "out2"), self.dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
         y = jax.lax.conv_general_dilated(
@@ -151,6 +198,20 @@ class _DSliceConv3D(nn.Module):
         # D-shifted strided slices. (A 0/1-selection conv over the D axis was
         # tried to avoid the channel-group relayout copies, but measured
         # ~20 ms slower across the depth path.)
+        if self.dfold == "out2":
+            # lane-aligned 4-D channel-group slices (no 6-D reshape): probe
+            # whether the [.., 3*co] -> [.., 3, co] view is what pushes
+            # layout assignment into the minor-shuffle copies seen in the
+            # 768x576 HLO (tools/aot_analyze.py)
+            out = None
+            for kd in range(3):
+                g = y[..., kd * co : (kd + 1) * co].reshape(b, d, ho, wo, co)
+                gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+                t = gp[:, kd : kd + (do - 1) * sd + 1 : sd]
+                out = t if out is None else out + t
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
         y = y.reshape(b, d, ho, wo, 3, co)
         yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
         out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0]

@@ -8,7 +8,7 @@ from flax import linen as nn
 
 
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2)])
-@pytest.mark.parametrize("dfold", ["out", "in"])
+@pytest.mark.parametrize("dfold", ["out", "out2", "in", "kdsum", "bgc"])
 def test_dslice_conv3d_matches_conv3d(strides, dfold):
     from dualpixelface_tpu.ops.blocks import _DSliceConv3D
 
