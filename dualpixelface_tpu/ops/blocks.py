@@ -107,13 +107,30 @@ class _DSliceConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         b, d, h, w, c = x.shape
         co = self.features
         kernel = self.param("kernel", self.kernel_init, (3, 3, 3, c, co))
         dt = x.dtype if self.dtype is None else self.dtype
         sd, sh, sw = self.strides
         do = (d + 2 - 3) // sd + 1
-        if self.dfold == "in":
+        dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
+        if dfold == "pallas" and self.strides == (1, 1, 1):
+            # fused Pallas conv (kernels/conv3d_dslice.py): no HBM 3*Co
+            # intermediate, no layout copies; falls back to the XLA twin
+            # off-TPU, gradients via custom_vjp through the twin
+            from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
+                conv3d_dslice_pallas,
+            )
+
+            out = conv3d_dslice_pallas(x.astype(dt), kernel.astype(dt))
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
+        if dfold == "pallas":
+            dfold = "out"  # strided convs keep the XLA formulation
+        if dfold == "in":
             # [B, D, H, W, C] -> per-kd D-shifted planes concatenated on the
             # channel axis: xin[b, i, h, w, (kd, c)] = xpad[b, i*sd + kd]
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
@@ -135,7 +152,7 @@ class _DSliceConv3D(nn.Module):
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
-        if self.dfold == "kdsum":
+        if dfold == "kdsum":
             # three 2-D convs on D-shifted views (major-dim slices), plain
             # adds — no 3*Co intermediate, no channel-group machinery at all
             xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
@@ -155,7 +172,7 @@ class _DSliceConv3D(nn.Module):
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
-        if self.dfold == "bgc":
+        if dfold == "bgc":
             # ONE batch-grouped conv: the kd shifts ride the BATCH axis
             # (major-dim concat of three D-shifted views), each batch group
             # convolves with its own kd tap plane, and the epilogue is a
@@ -182,7 +199,7 @@ class _DSliceConv3D(nn.Module):
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
-        assert self.dfold in ("out", "out2"), self.dfold
+        assert dfold in ("out", "out2"), dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
         y = jax.lax.conv_general_dilated(
@@ -198,7 +215,7 @@ class _DSliceConv3D(nn.Module):
         # D-shifted strided slices. (A 0/1-selection conv over the D axis was
         # tried to avoid the channel-group relayout copies, but measured
         # ~20 ms slower across the depth path.)
-        if self.dfold == "out2":
+        if dfold == "out2":
             # lane-aligned 4-D channel-group slices (no 6-D reshape): probe
             # whether the [.., 3*co] -> [.., 3, co] view is what pushes
             # layout assignment into the minor-shuffle copies seen in the
@@ -281,9 +298,18 @@ class _PackedTConv3D(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dt,
         )  # [B*D, H, W, 8*Cout]
-        y = y.reshape(b, d, h, w, 2, 2, 2, co)
-        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)  # [B, D, rd, H, rh, W, rw, Co]
-        return y.reshape(b, 2 * d, 2 * h, 2 * w, co)
+        # Staged parity interleave — one parity axis per step, the
+        # lane-adjacent rw step last at the smallest channel width. The
+        # one-shot 8-D transpose was the largest copy family in the 768x576
+        # HLO (~5.5 ms compiler-estimated per instance); staging it is
+        # 2.4-2.5x cheaper by the same cost model (tools/aot_micro.py). A
+        # Pallas depth-to-space epilogue was prototyped and rejected:
+        # Mosaic cannot lower the interleave's shape casts.
+        y = y.reshape(b, d, h, w, 2, 4 * co)                    # rd -> D (major)
+        y = y.transpose(0, 1, 4, 2, 3, 5).reshape(b, 2 * d, h, w, 4 * co)
+        y = y.reshape(b, 2 * d, h, w, 2, 2 * co)                # rh -> H
+        y = y.transpose(0, 1, 2, 4, 3, 5).reshape(b, 2 * d, 2 * h, w, 2 * co)
+        return y.reshape(b, 2 * d, 2 * h, 2 * w, co)            # rw -> W (view)
 
 
 class ConvBN3D(nn.Module):

@@ -1,0 +1,182 @@
+"""Fused Pallas 3x3x3 convolution for the cost-volume aggregation path.
+
+Why this exists (tools/aot_analyze.py, 768x576 HLO): the aggregation
+tower's 22 ConvBN3D calls run as kd-folded 2-D convs (`_DSliceConv3D`), and
+XLA layout assignment ping-pongs every conv's [B*D, H, W, 3*Co] output
+through H-minor relayout copies to feed the D-shifted group-adds — ~72 ms
+of compiler-estimated copy/add overhead against ~28 ms of actual conv
+fusions. Every alternative XLA formulation loses (tools/aot_micro.py:
+in/out2/kdsum/batch-group all 1.4-2.6x worse). This kernel does the whole
+conv in one VMEM pass instead:
+
+  * im2col built IN VMEM per input plane: 9 static (kh, kw) slices of the
+    row block, lane-concatenated to [hb*Wo, 9C] — never materialized in HBM
+    (reference CUDA materializes columns, deform_im2col_cuda.cuh:27-72);
+  * ONE MXU dot per input plane: [hb*Wo, 9C] x [9C, 3*Co] — K-util 75-90%,
+    N = 3*Co (the same MXU-shaped N the 2-D formulation had);
+  * the kd "D-slice adds" become VMEM f32 accumulations into the output
+    block: out[do] += y_di[:, kd-group], do = di - kd + 1 — no HBM
+    round-trip, no layout copies, no group-slice relayout.
+
+Scope: kernel 3x3x3, stride 1, padding 1, NDHWC, C and Co unrestricted
+(lane-padded). Strided (2,2,2) convs keep the XLA path. Gradients flow
+through the XLA `_DSliceConv3D` twin via custom_vjp (identical math), so
+training is unchanged; this kernel is the serving/forward path.
+
+Cites: /root/reference/src/module/asm/basics.py convbn_3d (what ConvBN3D
+implements); /root/reference/src/model/stereodpnet/modules.py:203-337 (the
+hourglass consumer).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(db, hb, wo, c, co, cdt, x_ref, w_ref, out_ref, acc_ref):
+    """x_ref:   [1, db+2, hb+2, wo+2, c]   pre-padded input block (cdt)
+    w_ref:   [9*c, 3*co]                 (kh, kw, c) x (kd, co) weights (cdt)
+    out_ref: [1, db, hb, wo, co]         output block (cdt)
+    acc_ref: [db, hb * wo, co]           f32 scratch accumulator
+    """
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    for di in range(db + 2):
+        # im2col for this input plane: 9 static slices, lanes = (kh, kw, c)
+        cols = jnp.concatenate(
+            [
+                x_ref[0, di, kh : kh + hb, kw : kw + wo, :].reshape(hb * wo, c)
+                for kh in range(3)
+                for kw in range(3)
+            ],
+            axis=1,
+        )  # [hb*wo, 9c]
+
+        y = jax.lax.dot_general(
+            cols,
+            w_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if cdt == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        )  # [hb*wo, 3co] f32
+
+        # out[do] += y[:, kd group], do = di - kd (pre-padded D: offset -1
+        # is absorbed by the pad plane at di = 0)
+        for kd in range(3):
+            do = di - kd
+            if 0 <= do < db:
+                acc_ref[do] = acc_ref[do] + y[:, kd * co : (kd + 1) * co]
+
+    out_ref[0] = acc_ref[...].reshape(db, hb, wo, co).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb"))
+def _conv3d_call(x, wmat, db=4, hb=8, interpret=False):
+    """x [B, D, H, W, C] -> [B, D, H, W, Co]; wmat [3, 3, 3, C, Co]."""
+    b, d, h, w, c = x.shape
+    co = wmat.shape[-1]
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    db = min(db, d)
+    dp = -(-d // db) * db
+    hp = -(-h // hb) * hb
+    # pre-pad: +1 halo each side of D/H/W, plus block-rounding remainders
+    xp = jnp.pad(
+        x,
+        (
+            (0, 0),
+            (1, 1 + dp - d),
+            (1, 1 + hp - h),
+            (1, 1),
+            (0, 0),
+        ),
+    ).astype(cdt)
+
+    # weights: [3kd, 3kh, 3kw, C, Co] -> [(kh, kw, c), (kd, co)]
+    w2 = wmat.transpose(1, 2, 3, 0, 4).reshape(9 * c, 3 * co).astype(cdt)
+
+    grid = (b, dp // db, hp // hb)
+    out = pl.pallas_call(
+        functools.partial(_kernel, db, hb, w, c, co, cdt),
+        out_shape=jax.ShapeDtypeStruct((b, dp, hp, w, co), cdt),
+        grid=grid,
+        in_specs=[
+            # halo'd D/H windows: Element dims take ELEMENT offsets from the
+            # index map, so consecutive blocks overlap by the 2-plane/2-row
+            # halo without materializing a stacked slab in HBM
+            pl.BlockSpec(
+                (
+                    pl.Element(1),
+                    pl.Element(db + 2),
+                    pl.Element(hb + 2),
+                    pl.Element(w + 2),
+                    pl.Element(c),
+                ),
+                lambda bi, di, hi: (bi, di * db, hi * hb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (9 * c, 3 * co), lambda bi, di, hi: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, db, hb, w, co),
+            lambda bi, di, hi: (bi, di, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((db, hb * w, co), jnp.float32)],
+        interpret=interpret,
+    )(xp, w2)
+    return out[:, :d, :h]
+
+
+def conv3d_dslice_reference(x, wmat):
+    """XLA twin (the `_DSliceConv3D` out-fold math, stride 1)."""
+    b, d, h, w, c = x.shape
+    co = wmat.shape[-1]
+    k2 = wmat.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
+    y = jax.lax.conv_general_dilated(
+        x.reshape(b * d, h, w, c),
+        k2.astype(x.dtype),
+        (1, 1),
+        [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    ).reshape(b, d, h, w, 3, co)
+    yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
+    out = yp[:, 0:d, :, :, 0]
+    for kd in (1, 2):
+        out = out + yp[:, kd : kd + d, :, :, kd]
+    return out
+
+
+@jax.custom_vjp
+def conv3d_dslice_pallas(x, wmat):
+    """Fused Pallas 3x3x3/s1/p1 conv; gradients via the XLA twin."""
+    from dualpixelface_tpu.ops.target import tpu_lowering
+
+    if not tpu_lowering():
+        return conv3d_dslice_reference(x, wmat)
+    return _conv3d_call(x, wmat)
+
+
+def _fwd(x, wmat):
+    return conv3d_dslice_pallas(x, wmat), (x, wmat)
+
+
+def _bwd(res, g):
+    x, wmat = res
+    _, vjp = jax.vjp(conv3d_dslice_reference, x, wmat)
+    return vjp(g)
+
+
+conv3d_dslice_pallas.defvjp(_fwd, _bwd)

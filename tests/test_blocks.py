@@ -8,7 +8,7 @@ from flax import linen as nn
 
 
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2)])
-@pytest.mark.parametrize("dfold", ["out", "out2", "in", "kdsum", "bgc"])
+@pytest.mark.parametrize("dfold", ["out", "out2", "in", "kdsum", "bgc", "pallas"])
 def test_dslice_conv3d_matches_conv3d(strides, dfold):
     from dualpixelface_tpu.ops.blocks import _DSliceConv3D
 
@@ -39,3 +39,63 @@ def test_dslice_fold_layouts_share_params():
     assert jax.tree_util.tree_structure(v_out) == jax.tree_util.tree_structure(v_in)
     for a, b in zip(jax.tree_util.tree_leaves(v_out), jax.tree_util.tree_leaves(v_in)):
         assert a.shape == b.shape
+
+
+def test_packed_tconv3d_matches_convtranspose():
+    """_PackedTConv3D (parity-decomposed dense conv + staged interleave)
+    must equal nn.ConvTranspose(3,3,3 s2, torch p1/op1 semantics) exactly
+    (same [3,3,3,Co,Cin] transpose_kernel param)."""
+    from dualpixelface_tpu.ops.blocks import _PackedTConv3D
+
+    b, d, h, w, c, co = 2, 4, 8, 6, 5, 7
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((b, d, h, w, c)), jnp.float32)
+
+    mod = _PackedTConv3D(co)
+    var = mod.init(jax.random.PRNGKey(3), x)
+    out = mod.apply(var, x)
+    assert out.shape == (b, 2 * d, 2 * h, 2 * w, co)
+
+    # torch ConvTranspose3d(k3 s2 p1 op1): crop flax's p(1,2) full output
+    ref = nn.ConvTranspose(
+        co, kernel_size=(3, 3, 3), strides=(2, 2, 2),
+        padding=[(1, 2)] * 3, transpose_kernel=True, use_bias=False,
+    )
+    expect = ref.apply(var, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "shape,co", [((2, 4, 16, 24, 5), 7), ((1, 8, 16, 16, 32), 32), ((1, 3, 8, 8, 3), 4)]
+)
+def test_conv3d_dslice_pallas_interpret(shape, co):
+    """The fused Pallas conv (interpret mode) vs the XLA twin, including a
+    D not divisible by the block size."""
+    from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
+        _conv3d_call,
+        conv3d_dslice_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    wm = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)) * 0.1, jnp.float32)
+    ref = conv3d_dslice_reference(x, wm)
+    out = _conv3d_call(x, wm, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_conv3d_dslice_pallas_grad_matches_twin():
+    """custom_vjp routes gradients through the XLA twin exactly."""
+    from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
+        conv3d_dslice_pallas,
+        conv3d_dslice_reference,
+    )
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 5)), jnp.float32)
+    wm = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 6)), jnp.float32)
+    _, vjp = jax.vjp(conv3d_dslice_pallas, x, wm)
+    _, vjp_ref = jax.vjp(conv3d_dslice_reference, x, wm)
+    for a, b in zip(vjp(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
