@@ -270,6 +270,11 @@ def _worker():
         "vs_baseline": round(pairs_per_sec / TARGET, 3),
         "resolution": f"{HEIGHT}x{WIDTH}",
         "batch": BATCH,
+        # the measured program is the production SERVING configuration
+        # (windowed Pallas deform + fused regression — stereodpnet_plus's
+        # fast paths); `stereodpnet`'s own default is the exact unbounded
+        # packed8 semantics (README deviations, deform_window_ab.py)
+        "config": "serving fast paths (deform_impl=pallas, fused_regression)",
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,
         "anchor_gpu_util": GPU_UTIL,
