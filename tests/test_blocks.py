@@ -65,7 +65,7 @@ def test_packed_tconv3d_matches_convtranspose():
 
 
 @pytest.mark.parametrize(
-    "shape,co", [((2, 4, 16, 24, 5), 7), ((1, 8, 16, 16, 32), 32), ((1, 3, 8, 8, 3), 4)]
+    "shape,co", [((2, 4, 16, 24, 5), 7), ((1, 6, 16, 16, 16), 16), ((1, 3, 8, 8, 3), 4)]
 )
 def test_conv3d_dslice_pallas_interpret(shape, co):
     """The fused Pallas conv (interpret mode) vs the XLA twin, including a
