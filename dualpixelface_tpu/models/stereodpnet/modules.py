@@ -157,6 +157,14 @@ class ASMCostVolume(nn.Module):
             sf = lambda dir_: (lambda t: subpixel_shift_planes(t, disps, dir_, **modes))
             vol_ref = attention(ref_feat, train, shift_fn=sf("forward"))
             vol_tar = attention(tar_feat, train, shift_fn=sf("backward"))
+        elif opt.get("attention_layout", "stacked") == "flat":
+            # exact math in the mode-MAJOR layout: every mode-axis op works
+            # on major dims, avoiding the [B,D,M,..] fold relayout copies
+            # (tools/aot_analyze.py; equivalence tested in test_asm.py)
+            fwd = subpixel_shift_planes(ref_feat, disps, "forward", layout="flat", **modes)
+            bwd = subpixel_shift_planes(tar_feat, disps, "backward", layout="flat", **modes)
+            vol_ref = attention(fwd, train, flat=True)  # [B, D, H, W, C]
+            vol_tar = attention(bwd, train, flat=True)
         else:
             fwd = subpixel_shift_planes(ref_feat, disps, "forward", **modes)
             bwd = subpixel_shift_planes(tar_feat, disps, "backward", **modes)

@@ -159,6 +159,7 @@ def subpixel_shift_planes(
     bilinear: bool = True,
     phase: bool = True,
     compat_nearest: bool = False,
+    layout: str = "stacked",
 ) -> jnp.ndarray:
     """Shift `feat` [B, H, W, C] by every disparity in `disps` along H, in up
     to three modes simultaneously (ref asm.py:87-127).
@@ -181,6 +182,13 @@ def subpixel_shift_planes(
         )
     if phase:
         planes_by_mode.append(phase_shift_multi(feat, [sign * d for d in disps]))
+    if layout == "flat":
+        # mode-MAJOR stack: [M, B, D, H, W, C]. Folding to the conv batch is
+        # then a pure major-dim reshape, where the stacked layout's
+        # [B, D, M, ...] -> [B*D*M, ...] fold costs XLA a minor-dim relayout
+        # copy per direction at 768x576 (tools/aot_analyze.py).
+        return jnp.stack(planes_by_mode, axis=0)
+    assert layout == "stacked", layout
     return jnp.stack(planes_by_mode, axis=2)  # [B, D, M, H, W, C]
 
 
@@ -236,7 +244,7 @@ class MaskingAttention(nn.Module):
     dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, shift_fn=None):
+    def __call__(self, x, train: bool = False, shift_fn=None, flat: bool = False):
         """Exact mode (shift_fn=None): x = [B, D, M, H, W, C] pre-shifted
         planes, the conv head runs on every (plane, mode) — the reference
         semantics.
@@ -255,7 +263,16 @@ class MaskingAttention(nn.Module):
         # would double the [B*D, M, H, W, C] traffic under the bf16 policy
         dt = self.dtype if self.dtype is not None else x.dtype
 
-        if shift_fn is None:
+        if shift_fn is None and flat:
+            # mode-MAJOR flat layout [M, B, D, H, W, C]: the conv-batch fold
+            # and every (softmax / gate / mean / InstanceNorm) mode-axis op
+            # works on MAJOR dims only — no relayout copies. Numerics are
+            # identical to the stacked path (same parameter tree, same
+            # reduction sets; asserted by tests/test_asm.py).
+            m, b, d, h, w, c = x.shape
+            y = x.reshape(m * b * d, 1, h, w, c)
+            head_in = y
+        elif shift_fn is None:
             b, d, m, h, w, c = x.shape
             y = x.reshape(b * d, m, h, w, c)
             head_in = y
@@ -282,6 +299,30 @@ class MaskingAttention(nn.Module):
             b, d, m, h, w, c = planes.shape
             y = planes.reshape(b * d, m, h, w, c)
             mask = shift_fn(mask[:, 0]).reshape(b * d, m, h, w, c)
+
+        if flat and shift_fn is None:
+            # mode axis is MAJOR: reshape back to [M, B*D, H, W, F]/[.., C]
+            # (pure major split), reduce/softmax over axis 0. InstanceNorm
+            # stats stay per (plane-sample, channel): reduce (m, h, w).
+            fdim = mask.shape[-1]
+            mask = mask.reshape(m, b * d, h, w, fdim)
+            y = y.reshape(m, b * d, h, w, c)
+            mask = InstanceNorm(dtype=dt, reduce_axes=(0, 2, 3))(mask)
+            if self.act == "relu":
+                mask = PReLU(init=0.05)(mask)
+            elif self.act == "sigmoid":
+                mask = nn.sigmoid(mask)
+            else:
+                raise NotImplementedError(f"asm activation {self.act!r}")
+            gate = nn.softmax(mask, axis=0)
+            y = y * gate
+            if self.feature_fetch:
+                avg = jnp.mean(y, axis=0)
+                avg2 = jnp.mean(y * y, axis=0)
+                out = avg2 - avg * avg
+            else:
+                out = jnp.mean(y, axis=0)
+            return out.reshape(b, d, h, w, c)
 
         mask = InstanceNorm(dtype=dt)(mask)
 

@@ -448,6 +448,10 @@ class _PerChannelNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Dtype | None = None
+    # None = all dims but (0, last): torch InstanceNorm semantics with dim 0
+    # the sample axis. Callers with a different sample axis (e.g. the flat
+    # mode-major attention layout) pass the reduction axes explicitly.
+    reduce_axes: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -455,7 +459,7 @@ class _PerChannelNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         dt = x.dtype if self.dtype is None else self.dtype
-        red = tuple(range(1, x.ndim - 1))
+        red = self.reduce_axes or tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=red, keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)
@@ -473,9 +477,11 @@ class InstanceNorm(nn.Module):
 
     epsilon: float = 1e-5
     dtype: Dtype | None = None
+    reduce_axes: tuple | None = None
 
     @nn.compact
     def __call__(self, x):
         return _PerChannelNorm(
-            epsilon=self.epsilon, dtype=self.dtype, name="GroupNorm_0"
+            epsilon=self.epsilon, dtype=self.dtype,
+            reduce_axes=self.reduce_axes, name="GroupNorm_0",
         )(x)

@@ -122,3 +122,61 @@ def test_fast_attention_matches_exact_interior():
     np.testing.assert_allclose(f, e, rtol=0.15, atol=0.05)
     corr = np.corrcoef(e.ravel(), f.ravel())[0, 1]
     assert corr > 0.999, corr
+
+
+def test_flat_attention_matches_stacked_exactly():
+    """The mode-MAJOR flat layout is the SAME exact math as the stacked
+    [B,D,M,..] path: identical param tree, outputs equal to float rounding."""
+    rng = jax.random.PRNGKey(0)
+    b, d, m, h, w, c = 2, 4, 3, 8, 8, 16
+    xs = jnp.asarray(
+        np.random.default_rng(7).standard_normal((b, d, m, h, w, c)), jnp.float32
+    )
+    xf = jnp.transpose(xs, (2, 0, 1, 3, 4, 5))  # [M, B, D, H, W, C]
+
+    mod = asm.MaskingAttention(features=c, act="sigmoid")
+    var_s = mod.init(rng, xs, train=False)
+    var_f = mod.init(rng, xf, train=False, flat=True)
+    assert jax.tree_util.tree_structure(var_s) == jax.tree_util.tree_structure(var_f)
+    for a, bb in zip(jax.tree_util.tree_leaves(var_s), jax.tree_util.tree_leaves(var_f)):
+        assert a.shape == bb.shape
+
+    out_s = mod.apply(var_s, xs, train=False)
+    out_f = mod.apply(var_s, xf, train=False, flat=True)  # same params
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+
+    # train mode: batch statistics are computed over the same element sets
+    out_s, mut_s = mod.apply(var_s, xs, train=True, mutable=["batch_stats"])
+    out_f, mut_f = mod.apply(var_s, xf, train=True, flat=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(mut_s), jax.tree_util.tree_leaves(mut_f)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-6)
+
+
+def test_flat_attention_layout_full_cost_volume():
+    """ASMCostVolume with attention_layout='flat' equals the stacked default
+    bit-for-bit-modulo-rounding on the same params."""
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models.stereodpnet.modules import ASMCostVolume
+
+    def build(layout):
+        cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+        cfg.data["model"]["attention_layout"] = layout
+        opt = cfg.get_config()
+        return ASMCostVolume(option=opt, mindisp=opt.model.mindisp, maxdisp=opt.model.maxdisp)
+
+    rng = np.random.default_rng(3)
+    ref = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    tar = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+
+    mod_s = build("stacked")
+    mod_f = build("flat")
+    var = mod_s.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    var_f = mod_f.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var_f)
+
+    out_s = mod_s.apply(var, ref, tar, train=False)
+    out_f = mod_f.apply(var, ref, tar, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), rtol=2e-5, atol=2e-6)

@@ -98,6 +98,11 @@ def build(config_name="train_synthetic_stereodpnet", fast=True):
     if fast:
         cfg.data["model"]["fused_regression"] = True
         cfg.data["model"]["deform_impl"] = "pallas"
+    overrides = os.environ.get("DPFACE_AOT_MODEL_OVERRIDES")
+    if overrides:
+        import json
+
+        cfg.data["model"].update(json.loads(overrides))
     opt = cfg.get_config()
     return opt, model_selector(opt)
 
