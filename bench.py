@@ -352,6 +352,9 @@ def _supervise():
             with open(last_path) as f:
                 stale = json.loads(f.read())
             stale["stale"] = True
+            # record HOW the fresh run died so a crash (rc != None) is
+            # distinguishable from a hung tunnel claim (killed, rc None)
+            stale["worker_rc"] = proc.returncode
             print("# worker produced no headline; emitting last successful "
                   "measurement on this host (marked stale)", file=sys.stderr)
             print(json.dumps(stale), flush=True)

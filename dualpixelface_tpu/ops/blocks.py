@@ -95,14 +95,12 @@ class _DSliceConv3D(nn.Module):
     kernel_init: Any = he_normal_out
     bias_init: Any = nn.initializers.zeros
     dtype: Dtype = None
-    # kd folding side: "out" folds the 3 kd taps into OUTPUT channels
-    # (N = 3*Co — feeds the MXU's N appetite; costs a channel-group
-    # relayout + D-shifted adds on the output), "in" folds them into INPUT
-    # channels (the D shifts become major-dim slices of x BEFORE the conv,
-    # the output needs no relayout; N = Co). "in" is the layout-friendly
-    # choice when 3*Co spills past one 128-lane tile (e.g. the 81-channel
-    # deform offset heads, whose 243-channel-group copies showed in the
-    # 768x576 HLO); "out" when Co is small and the MXU is the constraint.
+    # kd folding side: "out" (default) folds the 3 kd taps into OUTPUT
+    # channels (N = 3*Co for the MXU) + D-shifted adds; "pallas" uses the
+    # fused kernel (kernels/conv3d_dslice.py, stride-1 only; pending on-chip
+    # A/B). Alternative XLA formulations (in/out2/kdsum/bgc) were measured
+    # 1.4-2.6x worse by the TPU compiler's cost model and live in
+    # tools/aot_micro.py for reference.
     dfold: str = "out"
 
     @nn.compact
@@ -115,7 +113,17 @@ class _DSliceConv3D(nn.Module):
         dt = x.dtype if self.dtype is None else self.dtype
         sd, sh, sw = self.strides
         do = (d + 2 - 3) // sd + 1
+        # DPFACE_DSLICE_FOLD ('out'|'pallas') flips the compute path for
+        # on-chip A/Bs. It is read at TRACE time: set it before the first
+        # jit of a shape — an already-compiled executable will NOT retrace
+        # on an env change (construct modules with dfold=... for in-process
+        # A/Bs, as tools/bench_dslice_fold.py does).
         dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
+        if dfold not in ("out", "pallas"):
+            raise ValueError(
+                f"dfold {dfold!r} not in ('out', 'pallas') — the rejected "
+                "A/B variants (in/out2/kdsum/bgc) live in tools/aot_micro.py"
+            )
         if dfold == "pallas" and self.strides == (1, 1, 1):
             # fused Pallas conv (kernels/conv3d_dslice.py): no HBM 3*Co
             # intermediate, no layout copies; falls back to the XLA twin
@@ -130,76 +138,7 @@ class _DSliceConv3D(nn.Module):
             return out
         if dfold == "pallas":
             dfold = "out"  # strided convs keep the XLA formulation
-        if dfold == "in":
-            # [B, D, H, W, C] -> per-kd D-shifted planes concatenated on the
-            # channel axis: xin[b, i, h, w, (kd, c)] = xpad[b, i*sd + kd]
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-            xin = jnp.concatenate(
-                [xp[:, kd : kd + (do - 1) * sd + 1 : sd] for kd in range(3)],
-                axis=-1,
-            )
-            # kernel [kd,3,3,C,Co] -> [3,3,(kd,C),Co]
-            kin = kernel.transpose(1, 2, 0, 3, 4).reshape(3, 3, 3 * c, co)
-            y = jax.lax.conv_general_dilated(
-                xin.reshape(b * do, h, w, 3 * c).astype(dt),
-                kin.astype(dt),
-                (sh, sw),
-                [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=dt,
-            )
-            out = y.reshape(b, do, y.shape[1], y.shape[2], co)
-            if self.use_bias:
-                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return out
-        if dfold == "kdsum":
-            # three 2-D convs on D-shifted views (major-dim slices), plain
-            # adds — no 3*Co intermediate, no channel-group machinery at all
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
-            out = None
-            for kd in range(3):
-                xs = xp[:, kd : kd + (do - 1) * sd + 1 : sd]
-                y = jax.lax.conv_general_dilated(
-                    xs.reshape(b * do, h, w, c),
-                    kernel[kd].astype(dt),
-                    (sh, sw),
-                    [(1, 1), (1, 1)],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=dt,
-                )
-                out = y if out is None else out + y
-            out = out.reshape(b, do, out.shape[1], out.shape[2], co)
-            if self.use_bias:
-                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return out
-        if dfold == "bgc":
-            # ONE batch-grouped conv: the kd shifts ride the BATCH axis
-            # (major-dim concat of three D-shifted views), each batch group
-            # convolves with its own kd tap plane, and the epilogue is a
-            # pure lane-local (3, co) group sum — no shifted adds
-            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
-            xcat = jnp.concatenate(
-                [
-                    xp[:, kd : kd + (do - 1) * sd + 1 : sd].reshape(b * do, h, w, c)
-                    for kd in range(3)
-                ],
-                axis=0,
-            )  # [(kd, b*do), h, w, c]
-            kbg = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
-            y = jax.lax.conv_general_dilated(
-                xcat,
-                kbg.astype(dt),
-                (sh, sw),
-                [(1, 1), (1, 1)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                batch_group_count=3,
-                preferred_element_type=dt,
-            )  # [b*do, ho, wo, (kd, co)]
-            out = y.reshape(b, do, y.shape[1], y.shape[2], 3, co).sum(axis=-2)
-            if self.use_bias:
-                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return out
-        assert dfold in ("out", "out2"), dfold
+        assert dfold == "out", dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
         y = jax.lax.conv_general_dilated(
@@ -215,20 +154,6 @@ class _DSliceConv3D(nn.Module):
         # D-shifted strided slices. (A 0/1-selection conv over the D axis was
         # tried to avoid the channel-group relayout copies, but measured
         # ~20 ms slower across the depth path.)
-        if dfold == "out2":
-            # lane-aligned 4-D channel-group slices (no 6-D reshape): probe
-            # whether the [.., 3*co] -> [.., 3, co] view is what pushes
-            # layout assignment into the minor-shuffle copies seen in the
-            # 768x576 HLO (tools/aot_analyze.py)
-            out = None
-            for kd in range(3):
-                g = y[..., kd * co : (kd + 1) * co].reshape(b, d, ho, wo, co)
-                gp = jnp.pad(g, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
-                t = gp[:, kd : kd + (do - 1) * sd + 1 : sd]
-                out = t if out is None else out + t
-            if self.use_bias:
-                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return out
         y = y.reshape(b, d, ho, wo, 3, co)
         yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
         out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0]
@@ -459,7 +384,11 @@ class _PerChannelNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         dt = x.dtype if self.dtype is None else self.dtype
-        red = self.reduce_axes or tuple(range(1, x.ndim - 1))
+        red = (
+            self.reduce_axes
+            if self.reduce_axes is not None
+            else tuple(range(1, x.ndim - 1))
+        )
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=red, keepdims=True)
         var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)

@@ -8,7 +8,7 @@ from flax import linen as nn
 
 
 @pytest.mark.parametrize("strides", [(1, 1, 1), (2, 2, 2)])
-@pytest.mark.parametrize("dfold", ["out", "out2", "in", "kdsum", "bgc", "pallas"])
+@pytest.mark.parametrize("dfold", ["out", "pallas"])
 def test_dslice_conv3d_matches_conv3d(strides, dfold):
     from dualpixelface_tpu.ops.blocks import _DSliceConv3D
 
@@ -35,7 +35,7 @@ def test_dslice_fold_layouts_share_params():
 
     x = jnp.zeros((1, 4, 8, 8, 3), jnp.float32)
     v_out = _DSliceConv3D(6, dfold="out").init(jax.random.PRNGKey(0), x)
-    v_in = _DSliceConv3D(6, dfold="in").init(jax.random.PRNGKey(0), x)
+    v_in = _DSliceConv3D(6, dfold="pallas").init(jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(v_out) == jax.tree_util.tree_structure(v_in)
     for a, b in zip(jax.tree_util.tree_leaves(v_out), jax.tree_util.tree_leaves(v_in)):
         assert a.shape == b.shape

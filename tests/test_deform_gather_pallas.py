@@ -153,3 +153,22 @@ def test_fused_backward_zero_offset_init():
     assert float(jnp.abs(g_direct[1]).sum()) > 0.0
     for a, b in zip(g_fused[:3], g_direct):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_fused_backward_smoke_fast():
+    """Fast-tier coverage of the v5 backward kernel (the thorough vjp suites
+    are slow-tier): one tiny h-block (hb=4), nonzero offsets, all three
+    gradient outputs vs the twin's direct vjp."""
+    from dualpixelface_tpu.ops import deform_conv3d as dc3d
+    from dualpixelface_tpu.ops.kernels import deform_fused as df
+
+    x = _rand((1, 2, 4, 8, 3), seed=40)
+    off = _rand((1, 2, 4, 8, 81), 1.2, seed=41)
+    wt = _rand((3, 3, 3, 3, 4), 0.2, seed=42)
+    cot = _rand((1, 2, 4, 8, 4), seed=43)
+
+    g_fused = df.deform_conv3d_fused_bwd(x, off, wt, None, cot, interpret=True)
+    _, vjp = jax.vjp(lambda x_, o_, w_: dc3d._windowed_xla(x_, o_, w_, None), x, off, wt)
+    g_direct = vjp(cot)
+    for a, b in zip(g_fused[:3], g_direct):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)

@@ -77,7 +77,9 @@ def ab_dslice():
     ]:
         print(label)
         strides = (2, 2, 2) if label.endswith("s2") else (1, 1, 1)
-        for dfold in ("out", "kdsum", "bgc"):
+        # the rejected formulations (in/out2/kdsum/bgc) were pruned from
+        # _DSliceConv3D after losing 1.4-2.6x here (docs/PERFORMANCE.md)
+        for dfold in ("out",):
             mod = _DSliceConv3D(co, strides=strides, dfold=dfold)
             var = mod.init(
                 jax.random.PRNGKey(0), jnp.zeros((1,) + shape[1:], jnp.bfloat16)

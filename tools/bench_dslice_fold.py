@@ -66,7 +66,7 @@ def main():
         ("hourglass   32->32", (4, 8, 192, 144, 32), 32),
     ]:
         print(label)
-        for dfold in ("out", "in"):
+        for dfold in ("out", "pallas"):
             bench(shape, co, dfold)
 
 

@@ -120,6 +120,12 @@ def main():
     stats = {}
     for key in ("anm_offset1", "anm_offset2"):
         comps = {0: "d", 1: "h", 2: "w"}
+        if any(r.get(key) is None for r in res_un):
+            raise SystemExit(
+                f"{key} is None — the A/B needs use_deform=true and "
+                "predict_normal=true in the model config (offsets are only "
+                "produced by the deformable ANM path)"
+            )
         off = np.concatenate(
             [np.asarray(r[key], np.float32).reshape(-1, 27, 3) for r in res_un]
         )

@@ -1,11 +1,16 @@
 #!/usr/bin/env python
-"""Drive the eval/serving path at the reference's full eval shape once.
+"""Drive the eval path at the reference's full eval shape once.
 
 Runs `eval_synthetic_stereodpnet` (mode=test: config -> synthetic pipeline ->
-sharded batches -> fused-regression forward -> metric tables -> visualizer)
-with the dataset synthesized at >= the reference's 768x576 center-crop eval
-shape (`/root/reference/dataloader/preprocess/config_test.json` hard_crop),
-proving the serving path fits device memory and runs beyond toy sizes.
+sharded batches -> forward -> metric tables -> visualizer) with the dataset
+synthesized at >= the reference's 768x576 center-crop eval shape
+(`/root/reference/dataloader/preprocess/config_test.json` hard_crop),
+proving the eval flow fits device memory and runs beyond toy sizes.
+
+By default this exercises `stereodpnet`'s EXACT path (packed8 deform,
+unfused regression — the model's config defaults). Pass
+`--deform_impl pallas --fused_regression` to drive the serving fast paths
+instead (what `stereodpnet_plus` and bench.py run).
 
 Prints the metric tables and total/steady-state wall time. Record the result
 in docs/PERFORMANCE.md (VERDICT r2 item 7).
@@ -30,6 +35,8 @@ def main():
     ap.add_argument("--config", default="eval_synthetic_stereodpnet")
     ap.add_argument("--deform_impl", default=None,
                     help="override model deform_impl (e.g. pallas|packed8)")
+    ap.add_argument("--fused_regression", action="store_true",
+                    help="enable the Pallas fused softargmin (serving fast path)")
     args = ap.parse_args()
 
     from dualpixelface_tpu.config import Configuration
@@ -43,6 +50,8 @@ def main():
     cfg.data["dataset"]["test_samples"] = args.samples
     if args.deform_impl:
         cfg.data["model"]["deform_impl"] = args.deform_impl
+    if args.fused_regression:
+        cfg.data["model"]["fused_regression"] = True
     opt = cfg.get_config()
 
     t0 = time.perf_counter()

@@ -2,7 +2,7 @@
 """Profile the full StereoDPNet forward at the bench shape and print the
 top HLO ops by device time (parsed from the jax.profiler trace event json).
 
-Usage: python tools/profile_forward.py [outdir] [--train]
+Usage: python tools/profile_forward.py [outdir]
 """
 from __future__ import annotations
 
