@@ -137,7 +137,10 @@ class _DSliceConv3D(nn.Module):
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
         if dfold == "pallas":
-            dfold = "out"  # strided convs keep the XLA formulation
+            # the kernel's stride-2 variant is interpret-verified but its
+            # parity-extraction form Mosaic-compiles pathologically slowly
+            # (>15 min at the hourglass shape) — strided convs keep XLA
+            dfold = "out"
         assert dfold == "out", dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)

@@ -38,19 +38,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(db, hb, wo, c, co, cdt, x_ref, w_ref, out_ref, acc_ref):
-    """x_ref:   [1, db+2, hb+2, wo+2, c]   pre-padded input block (cdt)
-    w_ref:   [9*c, 3*co]                 (kh, kw, c) x (kd, co) weights (cdt)
-    out_ref: [1, db, hb, wo, co]         output block (cdt)
-    acc_ref: [db, hb * wo, co]           f32 scratch accumulator
+def _kernel(db, hb, wo, c, co, cdt, stride, x_ref, w_ref, out_ref, acc_ref):
+    """x_ref:   [1, nD, nH, Wp, c]  pre-padded input block (cdt), where
+               stride 1: nD = db+2,    nH = hb+2,    Wp = wo+2
+               stride 2: nD = 2*db+1,  nH = 2*hb+2,  Wp = 2*wo+2
+    w_ref:   [9*c, 3*co]           (kh, kw, c) x (kd, co) weights (cdt)
+    out_ref: [1, db, hb, wo, co]   output block (cdt)
+    acc_ref: [db, hb * wo, co]     f32 scratch accumulator
+
+    Stride 2 reads each (kh, kw) tap via offset slice + parity extraction
+    (reshape-split + take): Mosaic's strided loads are 32-bit-only, but the
+    split form lowers for bf16.
     """
     acc_ref[...] = jnp.zeros_like(acc_ref)
+    n_di = db + 2 if stride == 1 else 2 * db + 1
 
-    for di in range(db + 2):
+    for di in range(n_di):
         # im2col for this input plane: 9 static slices, lanes = (kh, kw, c)
+        def piece(kh, kw):
+            if stride == 1:
+                return x_ref[0, di, kh : kh + hb, kw : kw + wo, :]
+            p = x_ref[0, di, kh : kh + 2 * hb, :, :]       # [2hb, Wp, c]
+            p = p.reshape(hb, 2, p.shape[1], c)[:, 0]      # H parity
+            p = p[:, kw : kw + 2 * wo, :]
+            return p.reshape(hb, wo, 2, c)[:, :, 0]        # W parity
+
         cols = jnp.concatenate(
             [
-                x_ref[0, di, kh : kh + hb, kw : kw + wo, :].reshape(hb * wo, c)
+                piece(kh, kw).reshape(hb * wo, c)
                 for kh in range(3)
                 for kw in range(3)
             ],
@@ -69,34 +84,48 @@ def _kernel(db, hb, wo, c, co, cdt, x_ref, w_ref, out_ref, acc_ref):
             ),
         )  # [hb*wo, 3co] f32
 
-        # out[do] += y[:, kd group], do = di - kd (pre-padded D: offset -1
-        # is absorbed by the pad plane at di = 0)
+        # out[do] += y[:, kd group], do*stride + kd = di (pre-padded D: the
+        # -1 offset is absorbed by the pad plane at di = 0)
         for kd in range(3):
-            do = di - kd
+            if (di - kd) % stride:
+                continue
+            do = (di - kd) // stride
             if 0 <= do < db:
                 acc_ref[do] = acc_ref[do] + y[:, kd * co : (kd + 1) * co]
 
     out_ref[0] = acc_ref[...].reshape(db, hb, wo, co).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb"))
-def _conv3d_call(x, wmat, db=4, hb=8, interpret=False):
-    """x [B, D, H, W, C] -> [B, D, H, W, Co]; wmat [3, 3, 3, C, Co]."""
+@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb", "stride"))
+def _conv3d_call(x, wmat, db=4, hb=8, stride=1, interpret=False):
+    """x [B, D, H, W, C] -> [B, Do, Ho, Wo, Co]; wmat [3, 3, 3, C, Co].
+    stride 1 or 2 (uniform over D/H/W, pad 1 — the repo's two call shapes)."""
+    assert stride in (1, 2), stride
     b, d, h, w, c = x.shape
     co = wmat.shape[-1]
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
 
-    db = min(db, d)
-    dp = -(-d // db) * db
-    hp = -(-h // hb) * hb
-    # pre-pad: +1 halo each side of D/H/W, plus block-rounding remainders
+    do_t = (d - 1) // stride + 1
+    ho_t = (h - 1) // stride + 1
+    wo = (w - 1) // stride + 1
+    db = min(db, do_t)
+    dp = -(-do_t // db) * db
+    hp = -(-ho_t // hb) * hb
+    # input windows per block (pre-padded coords, +1 halo):
+    #   stride 1: planes [i*db, i*db + db+2), rows [j*hb, j*hb + hb+2)
+    #   stride 2: planes [i*2db, i*2db + 2db+1), rows [j*2hb, j*2hb + 2hb+2)
+    nD = db + 2 if stride == 1 else 2 * db + 1
+    nH = hb + 2 if stride == 1 else 2 * hb + 2
+    need_d = (dp - 1) * stride + 3  # max padded-D index any block touches
+    need_h = (hp - 1) * stride + 3 if stride == 1 else hp // hb * 2 * hb + 2
+    need_h = max(need_h, (hp - 1) * stride + 3)
     xp = jnp.pad(
         x,
         (
             (0, 0),
-            (1, 1 + dp - d),
-            (1, 1 + hp - h),
-            (1, 1),
+            (1, max(1, need_d - (d + 1))),
+            (1, max(1, need_h - (h + 1))),
+            (1, 1 if stride == 1 else 1 + (2 * wo + 2 - (w + 2))),
             (0, 0),
         ),
     ).astype(cdt)
@@ -105,23 +134,24 @@ def _conv3d_call(x, wmat, db=4, hb=8, interpret=False):
     w2 = wmat.transpose(1, 2, 3, 0, 4).reshape(9 * c, 3 * co).astype(cdt)
 
     grid = (b, dp // db, hp // hb)
+    wp = xp.shape[3]
     out = pl.pallas_call(
-        functools.partial(_kernel, db, hb, w, c, co, cdt),
-        out_shape=jax.ShapeDtypeStruct((b, dp, hp, w, co), cdt),
+        functools.partial(_kernel, db, hb, wo, c, co, cdt, stride),
+        out_shape=jax.ShapeDtypeStruct((b, dp, hp, wo, co), cdt),
         grid=grid,
         in_specs=[
             # halo'd D/H windows: Element dims take ELEMENT offsets from the
-            # index map, so consecutive blocks overlap by the 2-plane/2-row
-            # halo without materializing a stacked slab in HBM
+            # index map, so consecutive blocks overlap by the halo without
+            # materializing a stacked slab in HBM
             pl.BlockSpec(
                 (
                     pl.Element(1),
-                    pl.Element(db + 2),
-                    pl.Element(hb + 2),
-                    pl.Element(w + 2),
+                    pl.Element(nD),
+                    pl.Element(nH),
+                    pl.Element(wp),
                     pl.Element(c),
                 ),
-                lambda bi, di, hi: (bi, di * db, hi * hb, 0, 0),
+                lambda bi, di, hi: (bi, di * db * stride, hi * hb * stride, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -129,53 +159,57 @@ def _conv3d_call(x, wmat, db=4, hb=8, interpret=False):
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, db, hb, w, co),
+            (1, db, hb, wo, co),
             lambda bi, di, hi: (bi, di, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((db, hb * w, co), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((db, hb * wo, co), jnp.float32)],
         interpret=interpret,
     )(xp, w2)
-    return out[:, :d, :h]
+    return out[:, :do_t, :ho_t]
 
 
-def conv3d_dslice_reference(x, wmat):
-    """XLA twin (the `_DSliceConv3D` out-fold math, stride 1)."""
+def conv3d_dslice_reference(x, wmat, stride=1):
+    """XLA twin (the `_DSliceConv3D` out-fold math)."""
     b, d, h, w, c = x.shape
     co = wmat.shape[-1]
+    do = (d + 2 - 3) // stride + 1
     k2 = wmat.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
     y = jax.lax.conv_general_dilated(
         x.reshape(b * d, h, w, c),
         k2.astype(x.dtype),
-        (1, 1),
+        (stride, stride),
         [(1, 1), (1, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
-    ).reshape(b, d, h, w, 3, co)
+    )
+    ho, wo = y.shape[1], y.shape[2]
+    y = y.reshape(b, d, ho, wo, 3, co)
     yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-    out = yp[:, 0:d, :, :, 0]
+    out = yp[:, 0 : (do - 1) * stride + 1 : stride, :, :, 0]
     for kd in (1, 2):
-        out = out + yp[:, kd : kd + d, :, :, kd]
+        out = out + yp[:, kd : kd + (do - 1) * stride + 1 : stride, :, :, kd]
     return out
 
 
-@jax.custom_vjp
-def conv3d_dslice_pallas(x, wmat):
-    """Fused Pallas 3x3x3/s1/p1 conv; gradients via the XLA twin."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3d_dslice_pallas(x, wmat, stride=1):
+    """Fused Pallas 3x3x3/p1 conv (stride 1 or 2); gradients via the XLA
+    twin."""
     from dualpixelface_tpu.ops.target import tpu_lowering
 
     if not tpu_lowering():
-        return conv3d_dslice_reference(x, wmat)
-    return _conv3d_call(x, wmat)
+        return conv3d_dslice_reference(x, wmat, stride)
+    return _conv3d_call(x, wmat, stride=stride)
 
 
-def _fwd(x, wmat):
-    return conv3d_dslice_pallas(x, wmat), (x, wmat)
+def _fwd(x, wmat, stride):
+    return conv3d_dslice_pallas(x, wmat, stride), (x, wmat)
 
 
-def _bwd(res, g):
+def _bwd(stride, res, g):
     x, wmat = res
-    _, vjp = jax.vjp(conv3d_dslice_reference, x, wmat)
+    _, vjp = jax.vjp(lambda x_, w_: conv3d_dslice_reference(x_, w_, stride), x, wmat)
     return vjp(g)
 
 

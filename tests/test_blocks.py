@@ -64,10 +64,11 @@ def test_packed_tconv3d_matches_convtranspose():
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("stride", [1, 2])
 @pytest.mark.parametrize(
     "shape,co", [((2, 4, 16, 24, 5), 7), ((1, 6, 16, 16, 16), 16), ((1, 3, 8, 8, 3), 4)]
 )
-def test_conv3d_dslice_pallas_interpret(shape, co):
+def test_conv3d_dslice_pallas_interpret(shape, co, stride):
     """The fused Pallas conv (interpret mode) vs the XLA twin, including a
     D not divisible by the block size."""
     from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
@@ -79,8 +80,8 @@ def test_conv3d_dslice_pallas_interpret(shape, co):
     c = shape[-1]
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
     wm = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)) * 0.1, jnp.float32)
-    ref = conv3d_dslice_reference(x, wm)
-    out = _conv3d_call(x, wm, interpret=True)
+    ref = conv3d_dslice_reference(x, wm, stride)
+    out = _conv3d_call(x, wm, stride=stride, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
@@ -95,7 +96,7 @@ def test_conv3d_dslice_pallas_grad_matches_twin():
     x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 5)), jnp.float32)
     wm = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32)
     g = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 6)), jnp.float32)
-    _, vjp = jax.vjp(conv3d_dslice_pallas, x, wm)
-    _, vjp_ref = jax.vjp(conv3d_dslice_reference, x, wm)
+    _, vjp = jax.vjp(lambda a, b: conv3d_dslice_pallas(a, b, 1), x, wm)
+    _, vjp_ref = jax.vjp(lambda a, b: conv3d_dslice_reference(a, b, 1), x, wm)
     for a, b in zip(vjp(g), vjp_ref(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
