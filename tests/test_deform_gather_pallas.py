@@ -29,7 +29,8 @@ def _rand(shape, scale=1.0, seed=0):
     "b,d,h,w,c,co,scale",
     [
         (1, 4, 8, 8, 5, 7, 0.5),
-        (1, 3, 8, 11, 5, 6, 8.0),  # D<4, ragged W, aggressive clamping
+        # D<4, ragged W, aggressive clamping — slow: interpret-mode minutes
+        pytest.param(1, 3, 8, 11, 5, 6, 8.0, marks=pytest.mark.slow),
         pytest.param(2, 4, 6, 20, 35, 16, 2.0, marks=pytest.mark.slow),
         pytest.param(1, 4, 8, 16, 64, 8, 1.5, marks=pytest.mark.slow),
     ],
@@ -60,6 +61,7 @@ def test_aperture_matches_unbounded_for_small_offsets():
     )
 
 
+@pytest.mark.slow
 def test_clamping_is_active_and_bounded():
     """Huge offsets: the windowed op behaves as if positions sit at the
     aperture edge — finite, and equal to the twin with pre-clamped offsets."""
