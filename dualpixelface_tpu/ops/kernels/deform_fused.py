@@ -67,7 +67,7 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
     """xw_ref: [1, 1, 1, hb+7, WWIN, D_PAD*cpad]  w-windowed slab (cdt)
     pos_ref:  [1, 1, hb, 3, NPL]            (pd, ph_rel, pw_rel) f32
     w_ref:    [TAP_PAD, cpad, cout]         weights (cdt)
-    out_ref:  [1, 1, hb//HGRP, 128, cout]   f32 voxel rows (h4, dout, wo)
+    out_ref:  [1, 1, hb//HGRP, 128, cout]   cdt voxel rows (h4, dout, wo)
     sb_ref:   [TAP_PAD, cpad, 128]          cdt scratch (per 4-row group)
 
     The sampling "table" [(dh, w) = 128 rows, D_PAD*cpad] for each h is just
@@ -153,7 +153,10 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec,
-        )  # [128 voxels = (h4, dout, wo), cout]
+        ).astype(cdt)  # [128 voxels = (h4, dout, wo), cout]; f32 accumulate,
+        # emit compute dtype: the caller casts to x.dtype right after the
+        # unpack anyway, and a cdt output halves the unpack-transpose copy
+        # traffic (2 x 113 MB f32 per ANM conv at 768x576, aot_analyze)
 
 
 def _prep_slab(x, cpad, dtype, hb):
@@ -269,7 +272,7 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
             lambda bi, wi, hi: (bi, wi, hi, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nwb, hp // HGRP, 128, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nwb, hp // HGRP, 128, cout), cdt),
         scratch_shapes=[pltpu.VMEM((TAP_PAD, cpad, 128), cdt)],
         interpret=interpret,
     )(xw, pos, wmat)
