@@ -68,6 +68,14 @@ TRAIN_ITERS = 5
 REPS_PER_DISPATCH = 8           # forwards chained (lax.scan) per dispatch
 
 
+def _dfold_env():
+    """Non-default kernel-env override, if any (A/B runs in the battery).
+    Variant measurements are labeled in the headline and NOT persisted as
+    the supervisor's stale fallback."""
+    v = os.environ.get("DPFACE_DSLICE_FOLD", "out")
+    return v if v != "out" else ""
+
+
 def _enable_compile_cache():
     import jax
 
@@ -274,7 +282,8 @@ def _worker():
         # (windowed Pallas deform + fused regression — stereodpnet_plus's
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
-        "config": "serving fast paths (deform_impl=pallas, fused_regression)",
+        "config": "serving fast paths (deform_impl=pallas, fused_regression)"
+        + (f" +DPFACE_DSLICE_FOLD={_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,
         "anchor_gpu_util": GPU_UTIL,
@@ -325,8 +334,9 @@ def _supervise():
             try:
                 if "metric" in json.loads(line):
                     json_lines.append(line.strip())
-                    with open(last_path, "w") as f:
-                        f.write(line.strip())
+                    if not _dfold_env():  # never persist A/B variant runs
+                        with open(last_path, "w") as f:
+                            f.write(line.strip())
             except (ValueError, OSError):
                 pass
 

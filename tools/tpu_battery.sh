@@ -15,6 +15,10 @@ BENCH_DEADLINE_S=1500 timeout 1600 python bench.py 2>&1 | tee "$OUT/bench.txt"
 log "dslice fold A/B (out vs pallas conv3d kernel)"
 timeout 900 python tools/bench_dslice_fold.py 2>&1 | tee "$OUT/dslice_fold.txt"
 
+log "FULL-MODEL dslice-fold A/B (headline only, warm cache from step 1)"
+BENCH_FAST=1 BENCH_DEADLINE_S=900 DPFACE_DSLICE_FOLD=pallas timeout 1000 \
+  python bench.py 2>&1 | tee "$OUT/bench_dslice_pallas.txt"
+
 log "deform kernel v5 standalone"
 timeout 900 python tools/bench_deform_conv.py 2>&1 | tee "$OUT/deform_v5.txt"
 
