@@ -124,6 +124,13 @@ class _DSliceConv3D(nn.Module):
                 f"dfold {dfold!r} not in ('out', 'pallas') — the rejected "
                 "A/B variants (in/out2/kdsum/bgc) live in tools/aot_micro.py"
             )
+        if dfold == "pallas" and dt != jnp.bfloat16:
+            # f32 doubles every VMEM-resident block: at the 768x576 offset-
+            # head shape the kernel's scoped-vmem stack is 35.9M vs the 16M
+            # limit (XLA:TPU compile error, seen via eval_at_scale at
+            # precision 32). The fused fold is a bf16-serving optimization;
+            # f32 keeps the XLA fold.
+            dfold = "out"
         if dfold == "pallas" and self.strides == (1, 1, 1):
             # fused Pallas conv (kernels/conv3d_dslice.py): no HBM 3*Co
             # intermediate, no layout copies; falls back to the XLA twin

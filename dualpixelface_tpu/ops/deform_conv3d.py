@@ -361,10 +361,17 @@ class DeformConvPack3D(nn.Module):
             # ANM shape (ops/blocks.py _DSliceConv3D)
             from dualpixelface_tpu.ops.blocks import _DSliceConv3D
 
+            # dfold="pallas": the fused dslice kernel wins at THIS shape
+            # specifically (3*Co = 243 channel groups make the XLA "out"
+            # fold relayout-heavy: 2.49 vs 3.64 ms/conv on v5e,
+            # tools/bench_dslice_fold.py), while the hourglass shapes keep
+            # the XLA fold (full-model DPFACE_DSLICE_FOLD=pallas measured
+            # slower — docs/PERFORMANCE.md round 3).
             offset = _DSliceConv3D(
                 3 * k,
                 use_bias=True,
                 kernel_init=nn.initializers.zeros,
+                dfold="pallas",
                 name="conv_offset",
             )(x)
         else:
