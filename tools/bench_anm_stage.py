@@ -38,6 +38,10 @@ def timeit(fn, *args, warmup=2, iters=10):
 
 def main():
     cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    # profile the SERVING deform path; the model default is the exact
+    # packed8 (round-3 flip), whose unbounded gather at this scale is an
+    # init-time OOM on a 16 GB chip — see bench.py:measure_train_step
+    cfg.data["model"]["deform_impl"] = "pallas"
     opt = cfg.get_config()
     rng = np.random.default_rng(0)
     b, d, hq, wq, c = 4, 8, 192, 144, 32
@@ -50,9 +54,21 @@ def main():
         "abvalue": jnp.asarray(np.tile([[32.98, -26996.49]], (b, 1)), np.float32),
     }
     anm = ANM(opt, opt.model.mindisp, opt.model.maxdisp)
-    vs = cast_floating(
-        anm.init(jax.random.PRNGKey(0), [cost], [disp], batch, False), jnp.bfloat16
-    )
+    # init on CPU at a small spatial size with the XLA twin (params are
+    # shape-agnostic and the trees match; Pallas doesn't lower on CPU)
+    init_cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+    init_cfg.data["model"]["deform_impl"] = "packed8"
+    init_opt = init_cfg.get_config()
+    init_anm = ANM(init_opt, init_opt.model.mindisp, init_opt.model.maxdisp)
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        sc = jnp.zeros((b, d, 24, 24, 2 * c), jnp.bfloat16)
+        sd = jnp.zeros((b, 96, 96), jnp.bfloat16)
+        sb = jax.tree_util.tree_map(
+            lambda a: jax.device_put(a, cpu), batch
+        )
+        vs = init_anm.init(jax.random.PRNGKey(0), [sc], [sd], sb, False)
+    vs = jax.device_put(cast_floating(vs, jnp.bfloat16), jax.devices()[0])
 
     cr = make_costrange(opt.model.mindisp, opt.model.maxdisp, opt.model.level)
 
