@@ -313,6 +313,21 @@ def _worker():
     print(_merged_line(headline, extras), flush=True)
 
 
+def _host_fingerprint() -> str:
+    """Identity of THIS host, stamped into .bench_last.json: the stale
+    fallback must never serve a number measured on a different machine
+    (VERDICT r3 item 4 — the file is also untracked from git)."""
+    import platform
+
+    machine_id = ""
+    try:
+        with open("/etc/machine-id") as f:
+            machine_id = f.read().strip()
+    except OSError:
+        pass
+    return f"{platform.node()}:{machine_id}"
+
+
 def _supervise():
     """jax-free deadline enforcement: stream the worker's stdout, and at the
     deadline kill it and re-print the last JSON line so the artifact tail is
@@ -332,11 +347,13 @@ def _supervise():
         for line in proc.stdout:
             print(line, end="", flush=True)
             try:
-                if "metric" in json.loads(line):
+                record = json.loads(line)
+                if "metric" in record:
                     json_lines.append(line.strip())
                     if not _dfold_env():  # never persist A/B variant runs
+                        record["host_fingerprint"] = _host_fingerprint()
                         with open(last_path, "w") as f:
-                            f.write(line.strip())
+                            f.write(json.dumps(record))
             except (ValueError, OSError):
                 pass
 
@@ -361,6 +378,8 @@ def _supervise():
         try:
             with open(last_path) as f:
                 stale = json.loads(f.read())
+            if stale.pop("host_fingerprint", None) != _host_fingerprint():
+                raise ValueError("stale record is from a different host")
             stale["stale"] = True
             # record HOW the fresh run died so a crash (rc != None) is
             # distinguishable from a hung tunnel claim (killed, rc None)

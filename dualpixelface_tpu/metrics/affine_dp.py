@@ -25,54 +25,61 @@ from dualpixelface_tpu.ops.geometry import inverse_depth
 from dualpixelface_tpu.utils.file_manager import tensor2numpy
 
 
-def _weighted_lstsq_affine(pred: np.ndarray, depth: np.ndarray, sqrt_w: np.ndarray):
-    """Solve min || sqrt_w * (s*pred + t - depth) ||^2 for (s, t)."""
-    lhs = sqrt_w[:, None] * np.stack([pred, np.ones_like(pred)], axis=1)
-    rhs = sqrt_w * depth
-    sol, *_ = np.linalg.lstsq(lhs, rhs[:, None], rcond=None)
-    return sol[0, 0], sol[1, 0]
+def _wls_affine_batched(pred: np.ndarray, depth: np.ndarray, w: np.ndarray):
+    """Solve min_b || sqrt(w_b) * (s_b*pred_b + t_b - depth_b) ||^2 for every
+    sample at once via the closed-form 2x2 normal equations. pred/depth/w are
+    [B, N]; returns (s, t) each [B]. Matches np.linalg.lstsq on full-rank
+    systems (the parity test pins the values); tiny eps guards degeneracy the
+    way the reference's l2_regularizer would (ref metric.py:40)."""
+    eps = 1e-12
+    sw = w.sum(axis=1) + eps
+    sx = (w * pred).sum(axis=1)
+    sy = (w * depth).sum(axis=1)
+    sxx = (w * pred * pred).sum(axis=1) + eps
+    sxy = (w * pred * depth).sum(axis=1)
+    det = sw * sxx - sx * sx
+    det = np.where(np.abs(det) < eps, eps, det)
+    s = (sw * sxy - sx * sy) / det
+    t = (sxx * sy - sx * sxy) / det
+    return s, t
 
 
 def affine_inv_wmae(prediction: np.ndarray, depth: np.ndarray, depth_conf: np.ndarray,
-                    irls_iters: int = 5, epsilon: float = 1e-3) -> float:
-    pred_vec = prediction.reshape(-1).astype(np.float64)
-    depth_vec = depth.reshape(-1).astype(np.float64)
-    conf_vec = depth_conf.reshape(-1).astype(np.float64)
-    irls_weight = np.ones_like(conf_vec)
-    resid = np.zeros_like(conf_vec)
+                    irls_iters: int = 5, epsilon: float = 1e-3) -> np.ndarray:
+    """Batched IRLS WMAE (ref metric.py:22-44). [B, N] inputs -> [B]."""
+    irls_weight = np.ones_like(depth_conf)
+    resid = np.zeros_like(depth_conf)
     for _ in range(irls_iters):
-        sqrt_weight = np.sqrt(conf_vec * irls_weight)
-        s, t = _weighted_lstsq_affine(pred_vec, depth_vec, sqrt_weight)
-        resid = np.abs(pred_vec * s + t - depth_vec)
+        s, t = _wls_affine_batched(prediction, depth, depth_conf * irls_weight)
+        resid = np.abs(prediction * s[:, None] + t[:, None] - depth)
         irls_weight = 1.0 / np.maximum(epsilon, resid)
-    return float(np.sum(conf_vec * resid) / np.sum(conf_vec))
+    return (depth_conf * resid).sum(axis=1) / depth_conf.sum(axis=1)
 
 
-def affine_inv_wrmse(prediction: np.ndarray, depth: np.ndarray, depth_conf: np.ndarray) -> float:
-    pred_vec = prediction.reshape(-1).astype(np.float64)
-    depth_vec = depth.reshape(-1).astype(np.float64)
-    conf_vec = depth_conf.reshape(-1).astype(np.float64)
-    s, t = _weighted_lstsq_affine(pred_vec, depth_vec, np.sqrt(conf_vec))
-    resid_sq = np.minimum((pred_vec * s + t - depth_vec) ** 2, np.finfo(np.float32).max)
-    return float(np.sqrt(np.sum(conf_vec * resid_sq) / np.sum(conf_vec)))
+def affine_inv_wrmse(prediction: np.ndarray, depth: np.ndarray, depth_conf: np.ndarray) -> np.ndarray:
+    """Batched weighted RMSE after one affine fit (ref metric.py:47-62)."""
+    s, t = _wls_affine_batched(prediction, depth, depth_conf)
+    resid_sq = np.minimum((prediction * s[:, None] + t[:, None] - depth) ** 2,
+                          np.finfo(np.float32).max)
+    return np.sqrt((depth_conf * resid_sq).sum(axis=1) / depth_conf.sum(axis=1))
 
 
-def _pearson(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> float:
-    w_sum = np.sum(w)
-    e = lambda z: np.sum(w * z) / w_sum
+def _pearson(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Weighted Pearson correlation per batch row. [B, N] -> [B]."""
+    w_sum = w.sum(axis=1, keepdims=True)
+    e = lambda z: (w * z).sum(axis=1, keepdims=True) / w_sum
     mu_x, mu_y = e(x), e(y)
     var_x = e(x**2) - mu_x**2
     var_y = e(y**2) - mu_y**2
     cov = e(x * y) - mu_x * mu_y
-    return cov / np.sqrt(var_x * var_y)
+    return (cov / np.sqrt(var_x * var_y))[:, 0]
 
 
-def spearman_rank_correlation(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> float:
-    x = x.reshape(-1)
-    y = y.reshape(-1)
-    w = w.reshape(-1).astype(np.float64)
-    rank = lambda z: np.argsort(np.argsort(z))
-    n = x.shape[0]
+def spearman_rank_correlation(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """Batched double-argsort Spearman, max over prediction sign
+    (ref metric.py:65-101). [B, N] inputs -> [B]."""
+    rank = lambda z: np.argsort(np.argsort(z, axis=1), axis=1)
+    n = x.shape[1]
 
     def cast_and_rescale(r):
         return (r - n // 2).astype(np.float64) / float(n // 2)
@@ -80,30 +87,33 @@ def spearman_rank_correlation(x: np.ndarray, y: np.ndarray, w: np.ndarray) -> fl
     x_rank = cast_and_rescale(rank(x))
     x_rank_neg = cast_and_rescale(rank(-x))
     y_rank = cast_and_rescale(rank(y))
-    return max(_pearson(x_rank, y_rank, w), _pearson(x_rank_neg, y_rank, w))
+    return np.maximum(_pearson(x_rank, y_rank, w), _pearson(x_rank_neg, y_rank, w))
 
 
 def metrics(prediction: np.ndarray, gt_depth: np.ndarray, gt_depth_conf: np.ndarray,
             crop_height: int | None = None, crop_width: int | None = None):
-    """[B, H, W] arrays -> [wmae, wrmse, 1-spearman] (ref metric.py:104-151)."""
+    """[B, H, W] arrays -> [wmae, wrmse, 1-spearman] (ref metric.py:104-151).
 
-    def center_crop(image):
+    Fully vectorized across the batch: one closed-form weighted solve per IRLS
+    iteration and one argsort pass for the whole batch, instead of the
+    reference's per-sample TF lstsq loop — no host serialization in the eval
+    loop (VERDICT r3 item 7)."""
+
+    def center_crop(images):
         if crop_height is not None and crop_width is not None:
-            h, w = image.shape[:2]
+            h, w = images.shape[1:3]
             oy, ox = (h - crop_height) // 2, (w - crop_width) // 2
-            image = image[oy : oy + crop_height, ox : ox + crop_width]
-        return image.astype(np.float32)
+            images = images[:, oy : oy + crop_height, ox : ox + crop_width]
+        return images.astype(np.float32)
 
     batch = prediction.shape[0]
-    wmae, wrmse, spearman = [], [], []
-    for i in range(batch):
-        p = center_crop(prediction[i])
-        d = center_crop(gt_depth[i])
-        c = center_crop(gt_depth_conf[i])
-        wmae.append(affine_inv_wmae(p, d, c))
-        wrmse.append(affine_inv_wrmse(p, d, c))
-        spearman.append(1.0 - spearman_rank_correlation(p, d, c))
-    return [float(np.mean(wmae)), float(np.mean(wrmse)), float(np.mean(spearman))]
+    p = center_crop(np.asarray(prediction)).reshape(batch, -1).astype(np.float64)
+    d = center_crop(np.asarray(gt_depth)).reshape(batch, -1).astype(np.float64)
+    c = center_crop(np.asarray(gt_depth_conf)).reshape(batch, -1).astype(np.float64)
+    wmae = affine_inv_wmae(p, d, c)
+    wrmse = affine_inv_wrmse(p, d, c)
+    spearman = 1.0 - spearman_rank_correlation(p, d, c)
+    return [float(wmae.mean()), float(wrmse.mean()), float(spearman.mean())]
 
 
 def metrics_jax(prediction, gt_depth, gt_depth_conf, irls_iters: int = 5, epsilon: float = 1e-3):

@@ -1,4 +1,4 @@
-"""BTS backbone encoders: ResNet-50/101 and ResNeXt-50/101 in Flax.
+"""BTS backbone encoders: ResNet-50/101, ResNeXt-50/101, DenseNet-121/161 in Flax.
 
 Parity target: ref `src/model/bts/modules.py:268-311` — the reference wraps
 torchvision pretrained backbones and taps skip features at
@@ -7,9 +7,9 @@ torchvision pretrained backbones and taps skip features at
 
 Deviation (documented, SURVEY.md §7.3): no torchvision-pretrained weights
 exist for JAX in this environment, so encoders initialize from scratch;
-`tools/convert_bts_encoder.py` imports torch checkpoints into this parameter
-tree when pretrained weights are available. DenseNet variants are not yet
-implemented (tracked gap).
+`tools/convert_bts_encoder.py` imports torch checkpoints (ResNet/ResNeXt and
+DenseNet-121/161 alike) into this parameter tree when pretrained weights are
+available.
 """
 from __future__ import annotations
 

@@ -324,6 +324,38 @@ def _pallas_bwd(res, g):
 _deform_conv3d_pallas_vjp.defvjp(_pallas_fwd, _pallas_bwd)
 
 
+def expand_masked_offset(temp: jnp.ndarray, dimension: str, k: int) -> jnp.ndarray:
+    """Expand a dimension-masked offset tensor to the full 3*K layout.
+
+    The reference's 'T'/'H'/'W'-subset wrappers predict only len(dimension)
+    offset components per tap and scatter them into the full (dT, dH, dW)
+    triple with the masked axes pinned to zero (ref modules/deform_conv.py:
+    146-200 — in-place channel loops there; one static interleave here).
+
+    :param temp: [..., len(dimension)*K], tap-major — tap i's components sit
+                 at channels i*len+j, j indexing the ACTIVE axes in T,H,W order
+    :param dimension: subset of 'THW' (order-insensitive, as in the reference)
+    :param k: number of kernel taps (KD*KH*KW)
+    :return: [..., 3*K] in the deform_conv3d offset layout
+    """
+    active = [i for i, ax in enumerate("THW") if ax in dimension]
+    length = len(active)
+    assert temp.shape[-1] == length * k, (temp.shape, dimension, k)
+    if length == 3:
+        return temp
+    t = temp.reshape(temp.shape[:-1] + (k, length))
+    parts = []
+    j = 0
+    for axis in range(3):
+        if axis in active:
+            parts.append(t[..., j])
+            j += 1
+        else:
+            parts.append(jnp.zeros_like(t[..., 0]))
+    full = jnp.stack(parts, axis=-1)  # [..., K, 3]
+    return full.reshape(temp.shape[:-1] + (3 * k,))
+
+
 def _torch_kaiming_uniform(key, shape, dtype=jnp.float32):
     """torch Conv default init: kaiming_uniform_(a=sqrt(5)) ==
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)) (ref deform_conv.py:44-50)."""
@@ -425,3 +457,96 @@ class DeformConvPack3D(nn.Module):
         deform = call if impl == "pallas" else jax.checkpoint(call)
         out = deform(x, offset, weight, bias)
         return out, offset
+
+
+class DeformConv3D(nn.Module):
+    """Deformable 3-D conv with EXTERNALLY supplied offsets
+    (ref DeformConv, modules/deform_conv.py:15-63): weight/bias params only,
+    the caller passes the full [B, Do, Ho, Wo, 3*K] offset tensor. Optionally
+    dimension-masked (ref DeformConv_d, deform_conv.py:105-200): with
+    dimension a strict subset of 'THW' the offset argument carries only
+    len(dimension)*K channels and the masked axes are pinned to zero.
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    dimension: str = "THW"
+    maxsize: float | None = None  # accepted for config parity; unused (ref clamp commented out)
+    use_bias: bool = True
+    impl: str = "packed8"
+
+    @nn.compact
+    def __call__(self, x, offset):
+        ks = _triple(self.kernel_size)
+        k = int(np.prod(ks))
+        cin = x.shape[-1]
+        offset = expand_masked_offset(offset, self.dimension, k)
+
+        weight = self.param("weight", _torch_kaiming_uniform, ks + (cin, self.features))
+        bias = None
+        if self.use_bias:
+            bound = 1.0 / np.sqrt(float(k) * cin)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+        return deform_conv3d(
+            x, offset, weight, bias,
+            stride=self.stride, padding=self.padding, dilation=self.dilation,
+            impl=self.impl,
+        )
+
+
+class DeformConvPack3D_d(nn.Module):
+    """Dimension-masked self-offset-predicting deformable 3-D conv
+    (ref DeformConvPack_d, modules/deform_conv.py:206-292): a zero-initialised
+    Conv3d predicts len(dimension)*K offset channels, expanded to the full
+    (dT, dH, dW) layout with masked axes zeroed. Returns the conv output only
+    (the reference Pack_d does not return the offsets; only _dv2 does).
+    """
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3, 3)
+    stride: int = 1
+    padding: int = 1
+    dimension: str = "THW"
+    maxsize: float | None = None
+    use_bias: bool = True
+    impl: str = "packed8"
+
+    @nn.compact
+    def __call__(self, x):
+        ks = _triple(self.kernel_size)
+        k = int(np.prod(ks))
+        cin = x.shape[-1]
+        length = len([ax for ax in "THW" if ax in self.dimension])
+
+        temp = nn.Conv(
+            length * k,
+            kernel_size=ks,
+            strides=(self.stride,) * 3,
+            padding=[(self.padding, self.padding)] * 3,
+            use_bias=True,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="conv_offset",
+        )(x)
+        offset = expand_masked_offset(temp, self.dimension, k)
+
+        weight = self.param("weight", _torch_kaiming_uniform, ks + (cin, self.features))
+        bias = None
+        if self.use_bias:
+            bound = 1.0 / np.sqrt(float(k) * cin)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(key, shape, jnp.float32, -bound, bound),
+                (self.features,),
+            )
+        return deform_conv3d(
+            x, offset, weight, bias,
+            stride=self.stride, padding=self.padding, impl=self.impl,
+        )

@@ -129,6 +129,90 @@ def test_gradients_flow(small_problem):
     )
 
 
+@pytest.mark.parametrize("dimension", ["THW", "HW", "TW", "TH", "T", "H", "W"])
+def test_expand_masked_offset_semantics(dimension):
+    """expand_masked_offset vs a literal numpy transcription of the reference's
+    in-place channel loops (ref modules/deform_conv.py:146-200): tap i's full
+    offset channels are i*3+{T,H,W}; active axes read temp channels
+    i*len+j in T,H,W order, masked axes are zero."""
+    from dualpixelface_tpu.ops.deform_conv3d import expand_masked_offset
+
+    k = 27
+    active = [i for i, ax in enumerate("THW") if ax in dimension]
+    rng = np.random.default_rng(11)
+    temp = rng.standard_normal((2, 3, 4, 5, len(active) * k)).astype(np.float32)
+
+    expect = np.zeros((2, 3, 4, 5, 3 * k), np.float32)
+    for i in range(k):
+        for j, axis in enumerate(active):
+            expect[..., i * 3 + axis] = temp[..., i * len(active) + j]
+
+    out = np.asarray(expand_masked_offset(jnp.asarray(temp), dimension, k))
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_external_offset_module(small_problem):
+    """DeformConv3D (external offsets, ref DeformConv deform_conv.py:15-63)
+    == the functional deform_conv3d with the module's own weight/bias."""
+    from dualpixelface_tpu.ops.deform_conv3d import DeformConv3D
+
+    x, offset, _, _ = small_problem
+    mod = DeformConv3D(features=4)
+    variables = mod.init(jax.random.PRNGKey(3), jnp.asarray(x), jnp.asarray(offset))
+    out = mod.apply(variables, jnp.asarray(x), jnp.asarray(offset))
+    ref = deform_conv3d(
+        jnp.asarray(x), jnp.asarray(offset),
+        variables["params"]["weight"], variables["params"]["bias"],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_external_offset_module_masked(small_problem):
+    """Dimension-masked external offsets (ref DeformConv_d): 'HW' temp with
+    2*K channels == full deform with dT pinned to zero."""
+    from dualpixelface_tpu.ops.deform_conv3d import DeformConv3D, expand_masked_offset
+
+    x, _, _, _ = small_problem
+    rng = np.random.default_rng(7)
+    temp = jnp.asarray((rng.standard_normal((1, 4, 5, 5, 54)) * 0.7).astype(np.float32))
+    mod = DeformConv3D(features=4, dimension="HW")
+    variables = mod.init(jax.random.PRNGKey(4), jnp.asarray(x), temp)
+    out = mod.apply(variables, jnp.asarray(x), temp)
+    full = expand_masked_offset(temp, "HW", 27)
+    ref = deform_conv3d(
+        jnp.asarray(x), full,
+        variables["params"]["weight"], variables["params"]["bias"],
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    # and against the naive oracle with the expanded offsets
+    oracle = naive_deform_conv3d(
+        x, np.asarray(full),
+        np.asarray(variables["params"]["weight"]),
+        np.asarray(variables["params"]["bias"]),
+    )
+    np.testing.assert_allclose(np.asarray(out), oracle, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dimension", ["HW", "W"])
+def test_masked_pack_zero_init(small_problem, dimension):
+    """DeformConvPack3D_d (ref DeformConvPack_d): zero-init offset head ->
+    plain conv at init, regardless of the dimension mask."""
+    from dualpixelface_tpu.ops.deform_conv3d import DeformConvPack3D_d
+
+    x, _, _, _ = small_problem
+    mod = DeformConvPack3D_d(features=6, dimension=dimension)
+    variables = mod.init(jax.random.PRNGKey(5), jnp.asarray(x))
+    out = mod.apply(variables, jnp.asarray(x))
+    assert out.shape == (1, 4, 5, 5, 6)
+    params = variables["params"]
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), params["weight"],
+        window_strides=(1, 1, 1), padding=[(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    ) + params["bias"]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-4)
+
+
 def test_pack_module_zero_init_offsets(small_problem):
     x, _, _, _ = small_problem
     mod = DeformConvPack3D(features=8)

@@ -1,9 +1,16 @@
 #!/usr/bin/env python
 """Split the ANM stage at 768x576 b4 bf16: sample+grid+concat, each deform
 conv (+BN/relu), the 2-D n_convs tail + upsample. Relay floor ~3 ms each.
+
+Profiles the SERVING deform path (deform_impl=pallas) by default — the model
+default is the exact packed8, whose unbounded gather at this scale OOMs a
+16 GB chip at init. Pass --deform_impl packed8 to profile the exact path at
+a scale that fits (or accept the OOM on bigger chips); the flag switches
+both the profiled convs and the init recipe.
 """
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
@@ -37,11 +44,16 @@ def timeit(fn, *args, warmup=2, iters=10):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--deform_impl", default="pallas",
+                    choices=("pallas", "packed8", "packed", "simple"))
+    args = ap.parse_args()
+
     cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
-    # profile the SERVING deform path; the model default is the exact
+    # default: the SERVING deform path; the model default is the exact
     # packed8 (round-3 flip), whose unbounded gather at this scale is an
     # init-time OOM on a 16 GB chip — see bench.py:measure_train_step
-    cfg.data["model"]["deform_impl"] = "pallas"
+    cfg.data["model"]["deform_impl"] = args.deform_impl
     opt = cfg.get_config()
     rng = np.random.default_rng(0)
     b, d, hq, wq, c = 4, 8, 192, 144, 32
@@ -85,13 +97,13 @@ def main():
 
     from dualpixelface_tpu.ops.deform_conv3d import DeformConvPack3D
 
-    dc = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl="pallas")
+    dc = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl=args.deform_impl)
     dvs = cast_floating(dc.init(jax.random.PRNGKey(1), fv), jnp.bfloat16)
     f_dc = jax.jit(lambda v, x: dc.apply(v, x)[0])
     t_dc1 = timeit(f_dc, dvs, fv)
     print(f"deform pack (67ch in): {t_dc1*1e3:7.2f} ms")
     fv2 = f_dc(dvs, fv)
-    dc2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl="pallas")
+    dc2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, impl=args.deform_impl)
     dvs2 = cast_floating(dc2.init(jax.random.PRNGKey(2), fv2), jnp.bfloat16)
     t_dc2 = timeit(jax.jit(lambda v, x: dc2.apply(v, x)[0]), dvs2, fv2)
     print(f"deform pack (64ch in): {t_dc2*1e3:7.2f} ms")

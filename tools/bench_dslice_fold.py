@@ -36,9 +36,9 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16):
+def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16, strides=(1, 1, 1)):
     b, d, h, w, c = shape
-    mod = _DSliceConv3D(co, dfold=dfold)
+    mod = _DSliceConv3D(co, strides=strides, dfold=dfold)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(shape), dtype
     )
@@ -59,15 +59,40 @@ def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16):
     return per
 
 
+# every _DSliceConv3D call site at the 768x576 b4 bench shape (level 8,
+# inplanes 32): the aggregation tower's stride-1 convs + the ANM offset
+# heads. Stride-2 sites are listed for the XLA fold only (the Pallas
+# stride-2 parity-extraction form Mosaic-compiles pathologically slowly —
+# ops/blocks.py:146-150).
+SITES = [
+    # label,                shape (b, d, h, w, cin), cout, strides
+    ("offset-head 67->81", (4, 4, 192, 144, 67), 81, (1, 1, 1)),
+    ("offset-head 64->81", (4, 4, 192, 144, 64), 81, (1, 1, 1)),
+    ("dres0_0    64->32", (4, 8, 192, 144, 64), 32, (1, 1, 1)),
+    ("dres*      32->32", (4, 8, 192, 144, 32), 32, (1, 1, 1)),
+    ("hg conv2   64->64", (4, 4, 96, 72, 64), 64, (1, 1, 1)),
+    ("hg conv4   64->64", (4, 2, 48, 36, 64), 64, (1, 1, 1)),
+    ("classif    32->1 ", (4, 8, 192, 144, 32), 1, (1, 1, 1)),
+    ("hg conv1 s2 32->64", (4, 8, 192, 144, 32), 64, (2, 2, 2)),
+    ("hg conv3 s2 64->64", (4, 4, 96, 72, 64), 64, (2, 2, 2)),
+]
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--site", default=None, help="substring filter on the site label")
+    args = ap.parse_args()
+
     print(f"devices: {jax.devices()}")
-    for label, shape, co in [
-        ("offset-head 67->81", (4, 4, 192, 144, 67), 81),
-        ("hourglass   32->32", (4, 8, 192, 144, 32), 32),
-    ]:
+    for label, shape, co, strides in SITES:
+        if args.site and args.site not in label:
+            continue
         print(label)
-        for dfold in ("out", "pallas"):
-            bench(shape, co, dfold)
+        folds = ("out", "pallas") if strides == (1, 1, 1) else ("out",)
+        for dfold in folds:
+            bench(shape, co, dfold, strides=strides)
 
 
 if __name__ == "__main__":
