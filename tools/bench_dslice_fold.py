@@ -82,12 +82,14 @@ def main():
     import argparse
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--site", default=None, help="substring filter on the site label")
+    ap.add_argument("--site", default=None,
+                    help="comma-separated substring filter on site labels")
     args = ap.parse_args()
+    wanted = args.site.split(",") if args.site else None
 
     print(f"devices: {jax.devices()}")
     for label, shape, co, strides in SITES:
-        if args.site and args.site not in label:
+        if wanted and not any(s in label for s in wanted):
             continue
         print(label)
         folds = ("out", "pallas") if strides == (1, 1, 1) else ("out",)
