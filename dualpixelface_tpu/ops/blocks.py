@@ -119,11 +119,22 @@ class _DSliceConv3D(nn.Module):
         # on an env change (construct modules with dfold=... for in-process
         # A/Bs, as tools/bench_dslice_fold.py does).
         dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
-        if dfold not in ("out", "pallas"):
+        if dfold not in ("out", "pallas", "pallas2"):
             raise ValueError(
-                f"dfold {dfold!r} not in ('out', 'pallas') — the rejected "
-                "A/B variants (in/out2/kdsum/bgc) live in tools/aot_micro.py"
+                f"dfold {dfold!r} not in ('out', 'pallas', 'pallas2') — the "
+                "rejected A/B variants (in/out2/kdsum/bgc) live in tools/aot_micro.py"
             )
+        if dfold == "pallas2" and dt == jnp.bfloat16 and self.strides == (1, 1, 1):
+            # kw-lane-folded kernel (kernels/conv3d_dslice.conv3d_dslice_v2):
+            # no in-VMEM im2col concat — the v1 kernel's measured VPU floor
+            from dualpixelface_tpu.ops.kernels.conv3d_dslice import conv3d_dslice_v2
+
+            out = conv3d_dslice_v2(x.astype(dt), kernel.astype(dt))
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return out
+        if dfold == "pallas2":
+            dfold = "out"
         if dfold == "pallas" and dt != jnp.bfloat16:
             # f32 doubles every VMEM-resident block: at the 768x576 offset-
             # head shape the kernel's scoped-vmem stack is 35.9M vs the 16M

@@ -169,6 +169,124 @@ def _conv3d_call(x, wmat, db=4, hb=8, stride=1, interpret=False):
     return out[:, :do_t, :ho_t]
 
 
+# ---------------------------------------------------------------------------
+# v2: kw taps pre-folded into lanes (XLA-side shifted-copy concat, memcpy
+# speed) so the kernel never builds im2col in VMEM. The v1 kernel's in-VMEM
+# 9-slice lane-concat is a measured VPU-copy floor (~5.2 ms at the hourglass
+# 32->32 shape vs ~0.4 ms of MXU work); here each input plane is 3 clean
+# dots [hb*wo, 3c] x [3c, 3co] (one per kh tap, f32-accumulated), with the
+# kd D-slice accumulation unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(db, hb, wo, c3, co, cdt, x_ref, w_ref, out_ref, acc_ref):
+    """x_ref:   [1, db+2, hb+2, wo, 3c]  kw-folded pre-padded block (cdt)
+    w_ref:   [3, 3c, 3co]             per-kh weights (cdt), rows (kw, c)
+    out_ref: [1, db, hb, wo, co]
+    acc_ref: [db, hb * wo, co] f32
+    """
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+    for di in range(db + 2):
+        y = jnp.zeros((hb * wo, 3 * co), jnp.float32)
+        for kh in range(3):
+            piece = x_ref[0, di, kh : kh + hb, :, :].reshape(hb * wo, c3)
+            y = y + jax.lax.dot_general(
+                piece, w_ref[kh],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+        for kd in range(3):
+            do = di - kd
+            if 0 <= do < db:
+                acc_ref[do] = acc_ref[do] + y[:, kd * co : (kd + 1) * co]
+    out_ref[0] = acc_ref[...].reshape(db, hb, wo, co).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb"))
+def _conv3d_call_v2(x, wmat, db=4, hb=8, interpret=False):
+    """x [B, D, H, W, C] -> [B, D, H, W, Co]; wmat [3, 3, 3, C, Co].
+    Stride 1 / pad 1 only (the hourglass stride-1 sites)."""
+    b, d, h, w, c = x.shape
+    co = wmat.shape[-1]
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+
+    db = min(db, d)
+    dp = -(-d // db) * db
+    hp = -(-h // hb) * hb
+    # pad: 1 halo voxel + block-rounding remainders (D/H), 1 on W for the
+    # kw fold below
+    xp = jnp.pad(
+        x,
+        ((0, 0), (1, 1 + dp - d), (1, 1 + hp - h), (1, 1), (0, 0)),
+    ).astype(cdt)
+    # kw -> lanes: [B, Dp+2, Hp+2, W, 3c], lane order (kw, c); XLA lowers the
+    # three shifted copies as contiguous-minor-dim concats (memcpy speed)
+    xkw = jnp.concatenate([xp[:, :, :, kw : kw + w, :] for kw in range(3)], axis=-1)
+
+    # weights [3kd, 3kh, 3kw, C, Co] -> [kh, (kw, c), (kd, co)]
+    w2 = wmat.transpose(1, 2, 3, 0, 4).reshape(3, 3 * c, 3 * co).astype(cdt)
+
+    grid = (b, dp // db, hp // hb)
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, db, hb, w, 3 * c, co, cdt),
+        out_shape=jax.ShapeDtypeStruct((b, dp, hp, w, co), cdt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (
+                    pl.Element(1),
+                    pl.Element(db + 2),
+                    pl.Element(hb + 2),
+                    pl.Element(w),
+                    pl.Element(3 * c),
+                ),
+                lambda bi, di, hi: (bi, di * db, hi * hb, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3, 3 * c, 3 * co), lambda bi, di, hi: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, db, hb, w, co),
+            lambda bi, di, hi: (bi, di, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((db, hb * w, co), jnp.float32)],
+        interpret=interpret,
+    )(xkw, w2)
+    return out[:, :d, :h]
+
+
+@jax.custom_vjp
+def conv3d_dslice_v2(x, wmat):
+    """kw-lane-folded fused Pallas 3x3x3/s1/p1 conv; gradients via the XLA
+    twin (identical math)."""
+    from dualpixelface_tpu.ops.target import tpu_lowering
+
+    if not tpu_lowering():
+        return conv3d_dslice_reference(x, wmat, 1)
+    return _conv3d_call_v2(x, wmat)
+
+
+def _fwd_v2(x, wmat):
+    return conv3d_dslice_v2(x, wmat), (x, wmat)
+
+
+def _bwd_v2(res, g):
+    x, wmat = res
+    _, vjp = jax.vjp(lambda x_, w_: conv3d_dslice_reference(x_, w_, 1), x, wmat)
+    return vjp(g)
+
+
+conv3d_dslice_v2.defvjp(_fwd_v2, _bwd_v2)
+
+
 def conv3d_dslice_reference(x, wmat, stride=1):
     """XLA twin (the `_DSliceConv3D` out-fold math)."""
     b, d, h, w, c = x.shape

@@ -85,6 +85,42 @@ def test_conv3d_dslice_pallas_interpret(shape, co, stride):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "shape,co", [((2, 5, 16, 16, 8), 8), ((1, 8, 24, 16, 32), 32), ((2, 3, 8, 16, 5), 7)]
+)
+def test_conv3d_dslice_v2_interpret(shape, co):
+    """The kw-lane-folded v2 kernel (interpret mode) vs the XLA twin,
+    including ragged D/H block remainders and non-tile channel counts."""
+    from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
+        _conv3d_call_v2,
+        conv3d_dslice_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    c = shape[-1]
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    wm = jnp.asarray(rng.standard_normal((3, 3, 3, c, co)) * 0.1, jnp.float32)
+    ref = conv3d_dslice_reference(x, wm, 1)
+    out = _conv3d_call_v2(x, wm, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_conv3d_dslice_v2_grad_matches_twin():
+    from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
+        conv3d_dslice_reference,
+        conv3d_dslice_v2,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 5)), jnp.float32)
+    wm = jnp.asarray(rng.standard_normal((3, 3, 3, 5, 6)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 4, 8, 8, 6)), jnp.float32)
+    _, vjp = jax.vjp(conv3d_dslice_v2, x, wm)
+    _, vjp_ref = jax.vjp(lambda a, b: conv3d_dslice_reference(a, b, 1), x, wm)
+    for a, b in zip(vjp(g), vjp_ref(g)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 def test_conv3d_dslice_pallas_grad_matches_twin():
     """custom_vjp routes gradients through the XLA twin exactly."""
     from dualpixelface_tpu.ops.kernels.conv3d_dslice import (

@@ -55,7 +55,8 @@ def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16, strides=(1, 1, 1)):
 
     ms = timeit(chained, x)
     per = ms / reps
-    print(f"  dfold={dfold!r}: {ms:8.2f} ms / {reps} reps = {per:6.2f} ms/conv")
+    print(f"  dfold={dfold!r}: {ms:8.2f} ms / {reps} reps = {per:6.2f} ms/conv",
+          flush=True)
     return per
 
 
@@ -84,6 +85,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--site", default=None,
                     help="comma-separated substring filter on site labels")
+    ap.add_argument("--folds", default="out,pallas",
+                    help="comma-separated dfold variants (out/pallas/pallas2)")
     args = ap.parse_args()
     wanted = args.site.split(",") if args.site else None
 
@@ -91,9 +94,10 @@ def main():
     for label, shape, co, strides in SITES:
         if wanted and not any(s in label for s in wanted):
             continue
-        print(label)
-        folds = ("out", "pallas") if strides == (1, 1, 1) else ("out",)
-        for dfold in folds:
+        print(label, flush=True)
+        for dfold in args.folds.split(","):
+            if dfold.startswith("pallas") and strides != (1, 1, 1):
+                continue
             bench(shape, co, dfold, strides=strides)
 
 
