@@ -59,7 +59,8 @@ class STEREODPNET(nn.Module):
         # directly (prob_depth is then not produced).
         fused = bool(opt.get("fused_regression", False))
         cost_logits, cost_feats = PSMNetHGAggregation(
-            opt.inplanes, upsample=not fused, name="aggregation"
+            opt.inplanes, upsample=not fused,
+            dfold=opt.get("agg_dfold", "out"), name="aggregation"
         )(cost, train)  # n x [B, 4D, H, W] (or coarse), n x [B, D, H/4, W/4, C]
 
         disp_out, prob_out = [], []

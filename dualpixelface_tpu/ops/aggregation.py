@@ -17,19 +17,25 @@ from dualpixelface_tpu.ops.resize import upsample3d_trilinear
 
 
 class PSMNetHourglass(nn.Module):
-    """Encoder-decoder over (D, H, W) with skip fusion (ref modules.py:204-260)."""
+    """Encoder-decoder over (D, H, W) with skip fusion (ref modules.py:204-260).
+
+    relu lives inside ConvBN3D where the activation directly follows the
+    conv+BN (identical math; on the serving pallas2 fold the whole chain is
+    one kernel). `dfold` forwards per-site fold selection."""
 
     features: int
+    dfold: str = "out"
 
     @nn.compact
     def __call__(self, x, presqu, postsqu, train: bool = False):
         c = self.features
-        out = nn.relu(ConvBN3D(c * 2, 3, 2, 1, name="conv1")(x, train))  # 1/2
-        pre = ConvBN3D(c * 2, 3, 1, 1, name="conv2")(out, train)
+        df = self.dfold
+        out = ConvBN3D(c * 2, 3, 2, 1, relu=True, dfold=df, name="conv1")(x, train)  # 1/2
+        pre = ConvBN3D(c * 2, 3, 1, 1, dfold=df, name="conv2")(out, train)
         pre = nn.relu(pre + postsqu) if postsqu is not None else nn.relu(pre)
 
-        out = nn.relu(ConvBN3D(c * 2, 3, 2, 1, name="conv3")(pre, train))  # 1/4
-        out = nn.relu(ConvBN3D(c * 2, 3, 1, 1, name="conv4")(out, train))
+        out = ConvBN3D(c * 2, 3, 2, 1, relu=True, dfold=df, name="conv3")(pre, train)  # 1/4
+        out = ConvBN3D(c * 2, 3, 1, 1, relu=True, dfold=df, name="conv4")(out, train)
 
         up1 = TConvBN3D(c * 2, name="conv5")(out, train)  # back to 1/2
         post = nn.relu(up1 + presqu) if presqu is not None else nn.relu(up1 + pre)
@@ -50,25 +56,27 @@ class PSMNetHGAggregation(nn.Module):
 
     features: int
     upsample: bool = True
+    dfold: str = "out"  # _DSliceConv3D fold for every stride-1 site
 
     @nn.compact
     def __call__(self, cost, train: bool = False):
         c = self.features
-        cost0 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres0_0")(cost, train))
-        cost0 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres0_1")(cost0, train))
-        dres1 = nn.relu(ConvBN3D(c, 3, 1, 1, name="dres1_0")(cost0, train))
-        dres1 = ConvBN3D(c, 3, 1, 1, name="dres1_1")(dres1, train)
+        df = self.dfold
+        cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_0")(cost, train)
+        cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_1")(cost0, train)
+        dres1 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres1_0")(cost0, train)
+        dres1 = ConvBN3D(c, 3, 1, 1, dfold=df, name="dres1_1")(dres1, train)
         cost0 = dres1 + cost0
 
-        out1, pre1, post1 = PSMNetHourglass(c, name="dres2")(cost0, None, None, train)
+        out1, pre1, post1 = PSMNetHourglass(c, dfold=df, name="dres2")(cost0, None, None, train)
         out1 = out1 + cost0
-        out2, pre2, post2 = PSMNetHourglass(c, name="dres3")(out1, pre1, post1, train)
+        out2, pre2, post2 = PSMNetHourglass(c, dfold=df, name="dres3")(out1, pre1, post1, train)
         out2 = out2 + cost0
-        out3, pre3, post3 = PSMNetHourglass(c, name="dres4")(out2, pre1, post2, train)
+        out3, pre3, post3 = PSMNetHourglass(c, dfold=df, name="dres4")(out2, pre1, post2, train)
         out3 = out3 + cost0
 
         def classify(x, name):
-            y = nn.relu(ConvBN3D(c, 3, 1, 1, name=f"{name}_0")(x, train))
+            y = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name=f"{name}_0")(x, train)
             # same param tree as nn.Conv(1, (3,3,3)); the kd-folded 2-D form
             # avoids the slow TPU 3-D conv lowering (cout=1 pads to the lane
             # width either way — the 2-D conv amortizes it far better)

@@ -104,7 +104,12 @@ class _DSliceConv3D(nn.Module):
     dfold: str = "out"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, epilogue=None):
+        """epilogue: optional ([2, Co] f32 affine (a, b), relu: bool) fused
+        after the conv — in-kernel on the pallas2 path, as XLA elementwise
+        (identical math) on every other path. ConvBN3D passes its folded
+        eval-mode BatchNorm here so the pallas2 conv+BN+relu chain is one
+        kernel (XLA cannot fuse elementwise ops into a custom call)."""
         import os
 
         b, d, h, w, c = x.shape
@@ -113,6 +118,13 @@ class _DSliceConv3D(nn.Module):
         dt = x.dtype if self.dtype is None else self.dtype
         sd, sh, sw = self.strides
         do = (d + 2 - 3) // sd + 1
+
+        def xla_epilogue(y):
+            if epilogue is None:
+                return y
+            ab, relu = epilogue
+            y = (y.astype(jnp.float32) * ab[0] + ab[1]).astype(y.dtype)
+            return jnp.maximum(y, 0) if relu else y
         # DPFACE_DSLICE_FOLD ('out'|'pallas') flips the compute path for
         # on-chip A/Bs. It is read at TRACE time: set it before the first
         # jit of a shape — an already-compiled executable will NOT retrace
@@ -129,7 +141,8 @@ class _DSliceConv3D(nn.Module):
             # no in-VMEM im2col concat — the v1 kernel's measured VPU floor
             from dualpixelface_tpu.ops.kernels.conv3d_dslice import conv3d_dslice_v2
 
-            out = conv3d_dslice_v2(x.astype(dt), kernel.astype(dt))
+            ab, relu = epilogue if epilogue is not None else (None, False)
+            out = conv3d_dslice_v2(x.astype(dt), kernel.astype(dt), ab, relu)
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
@@ -153,7 +166,7 @@ class _DSliceConv3D(nn.Module):
             out = conv3d_dslice_pallas(x.astype(dt), kernel.astype(dt))
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return out
+            return xla_epilogue(out)
         if dfold == "pallas":
             # the kernel's stride-2 variant is interpret-verified but its
             # parity-extraction form Mosaic-compiles pathologically slowly
@@ -182,7 +195,7 @@ class _DSliceConv3D(nn.Module):
             out = out + yp[:, kd : kd + (do - 1) * sd + 1 : sd, :, :, kd]
         if self.use_bias:
             out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-        return out
+        return xla_epilogue(out)
 
 
 class _PackedTConv3D(nn.Module):
@@ -263,7 +276,13 @@ class ConvBN3D(nn.Module):
 
     3x3x3 pad-1 convs (stride 1 or 2) automatically use the kd-sliced 2-D
     formulation (_DSliceConv3D — numerically the same conv, much better MXU
-    utilization)."""
+    utilization).
+
+    `relu=True` applies the activation in-module (identical math to wrapping
+    nn.relu around the call); on the serving pallas2 path this lets the
+    whole conv+BN+relu chain run as ONE kernel: at eval BatchNorm folds to a
+    per-channel affine, passed into the conv kernel's epilogue. `dfold`
+    forwards to _DSliceConv3D for per-site fold selection."""
 
     features: int
     kernel_size: int | Sequence[int] = 3
@@ -271,9 +290,13 @@ class ConvBN3D(nn.Module):
     pad: int | Sequence[int] | None = None
     use_bias: bool = False
     dtype: Dtype = None
+    relu: bool = False
+    dfold: str = "out"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        import os
+
         ks = (
             (self.kernel_size,) * 3
             if isinstance(self.kernel_size, int)
@@ -292,8 +315,39 @@ class ConvBN3D(nn.Module):
             and pad == (1, 1, 1)
             and not self.use_bias
         )
+        dt = x.dtype if self.dtype is None else self.dtype
+        bn = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name="BatchNorm_0",
+        )
+        dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
+        fuse_bn = (
+            dslice
+            and not train
+            and dfold == "pallas2"
+            and dt == jnp.bfloat16
+            and st == (1, 1, 1)
+        )
+        if fuse_bn:
+            # bind/create the identical BatchNorm variables with a zero-flop
+            # dummy call, fold the eval-mode BN to (a, b), and run the whole
+            # conv+BN(+relu) chain inside the pallas2 kernel epilogue
+            bn(jnp.zeros((1, self.features), dt))
+            scale = bn.get_variable("params", "scale").astype(jnp.float32)
+            bias = bn.get_variable("params", "bias").astype(jnp.float32)
+            mean = bn.get_variable("batch_stats", "mean").astype(jnp.float32)
+            var = bn.get_variable("batch_stats", "var").astype(jnp.float32)
+            a = scale * jax.lax.rsqrt(var + 1e-5)
+            ab = jnp.stack([a, bias - mean * a])
+            return _DSliceConv3D(
+                self.features, strides=st, dtype=self.dtype,
+                dfold=self.dfold, name="Conv_0",
+            )(x, epilogue=(ab, self.relu))
         if dslice:
-            x = _DSliceConv3D(self.features, strides=st, dtype=self.dtype, name="Conv_0")(x)
+            x = _DSliceConv3D(
+                self.features, strides=st, dtype=self.dtype,
+                dfold=self.dfold, name="Conv_0",
+            )(x)
         else:
             x = nn.Conv(
                 self.features,
@@ -304,10 +358,8 @@ class ConvBN3D(nn.Module):
                 kernel_init=he_normal_out,
                 dtype=self.dtype,
             )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype
-        )(x)
-        return x
+        x = bn(x)
+        return nn.relu(x) if self.relu else x
 
 
 class TConvBN3D(nn.Module):

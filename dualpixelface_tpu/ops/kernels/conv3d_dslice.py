@@ -179,9 +179,17 @@ def _conv3d_call(x, wmat, db=4, hb=8, stride=1, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _kernel_v2(db, hb, wo, c3, co, cdt, x_ref, w_ref, out_ref, acc_ref):
+def _kernel_v2(db, hb, wo, c3, co, cdt, has_ab, relu,
+               x_ref, w_ref, ab_ref, out_ref, acc_ref):
     """x_ref:   [1, db+2, hb+2, wo, 3c]  kw-folded pre-padded block (cdt)
     w_ref:   [3, 3c, 3co]             per-kh weights (cdt), rows (kw, c)
+    ab_ref:  [2, co] f32              fused affine epilogue (a, b) — the
+                                      EVAL-mode BatchNorm folded to a*y+b,
+                                      applied in the f32 accumulator; relu
+                                      optionally follows (XLA cannot fuse
+                                      elementwise ops into a custom call,
+                                      so without this every conv pays a
+                                      separate BN/relu HBM pass)
     out_ref: [1, db, hb, wo, co]
     acc_ref: [db, hb * wo, co] f32
     """
@@ -203,16 +211,25 @@ def _kernel_v2(db, hb, wo, c3, co, cdt, x_ref, w_ref, out_ref, acc_ref):
             do = di - kd
             if 0 <= do < db:
                 acc_ref[do] = acc_ref[do] + y[:, kd * co : (kd + 1) * co]
-    out_ref[0] = acc_ref[...].reshape(db, hb, wo, co).astype(out_ref.dtype)
+    out = acc_ref[...]
+    if has_ab:
+        out = out * ab_ref[0:1, :].reshape(1, 1, co) + ab_ref[1:2, :].reshape(1, 1, co)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.reshape(db, hb, wo, co).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb"))
-def _conv3d_call_v2(x, wmat, db=4, hb=8, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "db", "hb", "relu"))
+def _conv3d_call_v2(x, wmat, ab=None, relu=False, db=4, hb=8, interpret=False):
     """x [B, D, H, W, C] -> [B, D, H, W, Co]; wmat [3, 3, 3, C, Co].
-    Stride 1 / pad 1 only (the hourglass stride-1 sites)."""
+    Stride 1 / pad 1 only (the hourglass stride-1 sites). ab: optional
+    [2, Co] f32 per-channel affine epilogue, relu applied after."""
     b, d, h, w, c = x.shape
     co = wmat.shape[-1]
     cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+    has_ab = ab is not None
+    if ab is None:
+        ab = jnp.zeros((2, co), jnp.float32)
 
     db = min(db, d)
     dp = -(-d // db) * db
@@ -232,7 +249,7 @@ def _conv3d_call_v2(x, wmat, db=4, hb=8, interpret=False):
 
     grid = (b, dp // db, hp // hb)
     out = pl.pallas_call(
-        functools.partial(_kernel_v2, db, hb, w, 3 * c, co, cdt),
+        functools.partial(_kernel_v2, db, hb, w, 3 * c, co, cdt, has_ab, relu),
         out_shape=jax.ShapeDtypeStruct((b, dp, hp, w, co), cdt),
         grid=grid,
         in_specs=[
@@ -251,6 +268,7 @@ def _conv3d_call_v2(x, wmat, db=4, hb=8, interpret=False):
                 (3, 3 * c, 3 * co), lambda bi, di, hi: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
+            pl.BlockSpec((2, co), lambda bi, di, hi: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, db, hb, w, co),
@@ -259,28 +277,41 @@ def _conv3d_call_v2(x, wmat, db=4, hb=8, interpret=False):
         ),
         scratch_shapes=[pltpu.VMEM((db, hb * w, co), jnp.float32)],
         interpret=interpret,
-    )(xkw, w2)
+    )(xkw, w2, ab)
     return out[:, :d, :h]
 
 
-@jax.custom_vjp
-def conv3d_dslice_v2(x, wmat):
-    """kw-lane-folded fused Pallas 3x3x3/s1/p1 conv; gradients via the XLA
-    twin (identical math)."""
+def _v2_twin(x, wmat, ab, relu):
+    """XLA math of conv3d_dslice_v2 incl. the fused epilogue."""
+    y = conv3d_dslice_reference(x, wmat, 1)
+    if ab is not None:
+        y = (y.astype(jnp.float32) * ab[0] + ab[1]).astype(y.dtype)
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3d_dslice_v2(x, wmat, ab=None, relu=False):
+    """kw-lane-folded fused Pallas 3x3x3/s1/p1 conv with optional per-channel
+    affine (+relu) epilogue; gradients via the XLA twin (identical math)."""
     from dualpixelface_tpu.ops.target import tpu_lowering
 
     if not tpu_lowering():
-        return conv3d_dslice_reference(x, wmat, 1)
-    return _conv3d_call_v2(x, wmat)
+        return _v2_twin(x, wmat, ab, relu)
+    return _conv3d_call_v2(x, wmat, ab, relu=relu)
 
 
-def _fwd_v2(x, wmat):
-    return conv3d_dslice_v2(x, wmat), (x, wmat)
+def _fwd_v2(x, wmat, ab, relu):
+    return conv3d_dslice_v2(x, wmat, ab, relu), (x, wmat, ab)
 
 
-def _bwd_v2(res, g):
-    x, wmat = res
-    _, vjp = jax.vjp(lambda x_, w_: conv3d_dslice_reference(x_, w_, 1), x, wmat)
+def _bwd_v2(relu, res, g):
+    x, wmat, ab = res
+    if ab is None:
+        _, vjp = jax.vjp(lambda x_, w_: _v2_twin(x_, w_, None, relu), x, wmat)
+        return (*vjp(g), None)
+    _, vjp = jax.vjp(lambda x_, w_, ab_: _v2_twin(x_, w_, ab_, relu), x, wmat, ab)
     return vjp(g)
 
 

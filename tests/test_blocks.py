@@ -121,6 +121,50 @@ def test_conv3d_dslice_v2_grad_matches_twin():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("relu", [False, True])
+def test_convbn3d_fused_epilogue_matches_unfused(relu):
+    """ConvBN3D(dfold='pallas2') at eval folds its BatchNorm (+relu) into the
+    conv epilogue; must equal the unfused conv->BN->relu chain with the SAME
+    variables (incl. nontrivial running stats). bf16 path (the fused
+    trigger), compared at bf16 tolerance."""
+    from dualpixelface_tpu.ops.blocks import ConvBN3D
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 16, 6)), jnp.bfloat16)
+
+    fused = ConvBN3D(8, relu=relu, dfold="pallas2")
+    plain = ConvBN3D(8, relu=relu, dfold="out")
+    v = plain.init(jax.random.PRNGKey(7), x, train=False)
+    import flax
+
+    v = flax.core.unfreeze(v)
+    bs = v["batch_stats"]["BatchNorm_0"]
+    bs["mean"] = jnp.asarray(rng.uniform(-0.1, 0.1, (8,)), jnp.float32)
+    bs["var"] = jnp.asarray(rng.uniform(0.8, 1.25, (8,)), jnp.float32)
+    v["params"]["BatchNorm_0"]["scale"] = jnp.asarray(rng.uniform(0.5, 1.5, (8,)), jnp.float32)
+    v["params"]["BatchNorm_0"]["bias"] = jnp.asarray(rng.uniform(-1, 1, (8,)), jnp.float32)
+
+    # identical variable trees
+    vf = fused.init(jax.random.PRNGKey(7), x, train=False)
+    assert jax.tree_util.tree_structure(vf) == jax.tree_util.tree_structure(
+        flax.core.freeze(v)
+    ) or set(vf["params"].keys()) == set(v["params"].keys())
+
+    # production serving runs bf16-cast variables (bench.py); with f32 params
+    # flax BN would promote the unfused output to f32 while the fused kernel
+    # stays in the input dtype — cast like production so dtypes agree
+    from dualpixelface_tpu.ops.precision import cast_floating
+
+    v = cast_floating(v, jnp.bfloat16)
+    out_f = fused.apply(v, x, train=False)
+    out_p = plain.apply(v, x, train=False)
+    assert out_f.dtype == out_p.dtype
+    np.testing.assert_allclose(
+        np.asarray(out_f, np.float32), np.asarray(out_p, np.float32),
+        rtol=0.05, atol=0.05,
+    )
+
+
 def test_conv3d_dslice_pallas_grad_matches_twin():
     """custom_vjp routes gradients through the XLA twin exactly."""
     from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
