@@ -36,9 +36,23 @@ def timeit(fn, *args, iters=10):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16, strides=(1, 1, 1)):
+def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16, strides=(1, 1, 1),
+          module="raw"):
     b, d, h, w, c = shape
-    mod = _DSliceConv3D(co, strides=strides, dfold=dfold)
+    if module == "convbn":
+        # the full eval serving chain: conv + BN(+relu) — fused into the
+        # kernel epilogue on pallas2, separate XLA elementwise otherwise
+        from dualpixelface_tpu.ops.blocks import ConvBN3D
+        from dualpixelface_tpu.ops.precision import cast_floating
+
+        inner = ConvBN3D(co, 3, strides[0], 1, relu=True, dfold=dfold)
+        mod = type("M", (), {})()  # tiny adapter exposing .init/.apply
+        mod.init = lambda k, x_: cast_floating(
+            inner.init(k, x_, train=False), jnp.bfloat16
+        )
+        mod.apply = lambda v, x_: inner.apply(v, x_, train=False)
+    else:
+        mod = _DSliceConv3D(co, strides=strides, dfold=dfold)
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal(shape), dtype
     )
@@ -87,6 +101,8 @@ def main():
                     help="comma-separated substring filter on site labels")
     ap.add_argument("--folds", default="out,pallas",
                     help="comma-separated dfold variants (out/pallas/pallas2)")
+    ap.add_argument("--module", default="raw", choices=("raw", "convbn"),
+                    help="'convbn' benches the full eval ConvBN3D(relu) chain")
     args = ap.parse_args()
     wanted = args.site.split(",") if args.site else None
 
@@ -98,7 +114,7 @@ def main():
         for dfold in args.folds.split(","):
             if dfold.startswith("pallas") and strides != (1, 1, 1):
                 continue
-            bench(shape, co, dfold, strides=strides)
+            bench(shape, co, dfold, strides=strides, module=args.module)
 
 
 if __name__ == "__main__":
