@@ -53,6 +53,23 @@ HGRP = 4        # h rows whose voxels share one 128-lane dot group
 EPS = 1.0 / 1024.0
 
 
+def _tsrc_rows(xw_ref, h):
+    """The (dh, w) candidate rows for output row h: DH_ROWS consecutive slab
+    rows flattened to [DH_ROWS*WWIN, D_PAD*cpad].
+
+    DPFACE_DEFORM_TSRC=concat keeps the original 8-slice lane-concat for
+    on-chip A/B; the default contiguous slice + leading-dim merge is
+    layout-free when WWIN (16) matches the bf16 sublane tile."""
+    import os
+
+    m = xw_ref.shape[-1]
+    if os.environ.get("DPFACE_DEFORM_TSRC", "slice") == "concat":
+        return jnp.concatenate(
+            [xw_ref[0, 0, 0, h + dh] for dh in range(DH_ROWS)], axis=0
+        )
+    return xw_ref[0, 0, 0, h : h + DH_ROWS].reshape(DH_ROWS * WWIN, m)
+
+
 def clamp_positions(pos, out_coord):
     """Shared aperture clamp (the XLA twin applies the same)."""
     return jnp.clip(pos, out_coord - AP, out_coord + AP + 1 - EPS)
@@ -121,10 +138,7 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
             s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
 
             # (dh, w) rows of row h: slab rows (h+dh, :) — static slices
-            tsrc = jnp.concatenate(
-                [xw_ref[0, 0, 0, h + dh] for dh in range(DH_ROWS)],
-                axis=0,
-            )  # [DH_ROWS*WWIN, D_PAD*cpad]
+            tsrc = _tsrc_rows(xw_ref, h)  # [DH_ROWS*WWIN, D_PAD*cpad]
 
             cols4 = jax.lax.dot_general(
                 tsrc,
@@ -409,10 +423,7 @@ def _bwd_kernel(hb, cpad, cout, cdt,
             ah, aw = ah_f.astype(cdt), aw_f.astype(cdt)
             s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
 
-            tsrc = jnp.concatenate(
-                [xw_ref[0, 0, 0, h + dh] for dh in range(DH_ROWS)],
-                axis=0,
-            )  # [DH_ROWS*WWIN, D_PAD*cpad] cdt
+            tsrc = _tsrc_rows(xw_ref, h)  # [DH_ROWS*WWIN, D_PAD*cpad] cdt
 
             # forward cols (recomputed) -> SB for gW; per-plane partials
             # feed g_ad below (v5: D rides the lane dim, see _kernel)
