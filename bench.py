@@ -121,9 +121,13 @@ def _build(config_name="train_synthetic_stereodpnet"):
     from dualpixelface_tpu.models import model_selector
 
     cfg = Configuration(config_name, make_workspace=False)
-    # production eval path: bf16 + Pallas fused regression + Pallas deform
+    # production eval path: bf16 + Pallas fused regression + Pallas deform +
+    # hoisted attention head (fast_attention — promoted to the serving
+    # default in round 4: the stereodpnet_plus receipt test bounds its
+    # deviation inside the parity budget, tests/test_stereodpnet.py)
     cfg.data["model"]["fused_regression"] = True
     cfg.data["model"]["deform_impl"] = "pallas"
+    cfg.data["model"]["fast_attention"] = True
     opt = cfg.get_config()
     model = model_selector(opt)
 
@@ -282,7 +286,7 @@ def _worker():
         # (windowed Pallas deform + fused regression — stereodpnet_plus's
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
-        "config": "serving fast paths (deform_impl=pallas, fused_regression)"
+        "config": "serving fast paths (deform_impl=pallas, fused_regression, fast_attention)"
         + (f" +DPFACE_DSLICE_FOLD={_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,
