@@ -59,7 +59,7 @@ GPU_UTIL = 0.25                 # documented estimate, see module docstring
 REF_GPU_PAIRS_PER_SEC = GPU_PEAK_FP32 * GPU_UTIL / FLOPS_PER_PAIR  # ~8.6
 TARGET = 5.0 * REF_GPU_PAIRS_PER_SEC
 
-BATCH = 4
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 HEIGHT, WIDTH = 768, 576        # reference hard_crop (factor-96 multiples)
 WARMUP = 2
 ITERS = 10

@@ -15,6 +15,8 @@ per-plane FFTs, modules.py:185-194).
 """
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -153,10 +155,26 @@ class ASMCostVolume(nn.Module):
             # hoisted mask head: the conv chain runs once per feature map and
             # the shifts are applied to its output (shift seam + norm-stat
             # deviation documented at MaskingAttention) — D*M x fewer conv
-            # FLOPs, the dominant ASM cost at full resolution
-            sf = lambda dir_: (lambda t: subpixel_shift_planes(t, disps, dir_, **modes))
-            vol_ref = attention(ref_feat, train, shift_fn=sf("forward"))
-            vol_tar = attention(tar_feat, train, shift_fn=sf("backward"))
+            # FLOPs, the dominant ASM cost at full resolution.
+            # layout 'list' keeps the M mode planes unstacked so the
+            # [B, D, M, H, W, C] volume (+ its relayout copies) never
+            # materializes; numerically identical (tests/test_asm.py).
+            layout = os.environ.get(
+                "DPFACE_ATTN_LAYOUT", opt.get("fast_attention_layout", "list")
+            )
+            mode_list = layout == "list"
+            sf = lambda dir_: (
+                lambda t: subpixel_shift_planes(
+                    t, disps, dir_,
+                    layout="list" if mode_list else "stacked", **modes,
+                )
+            )
+            vol_ref = attention(
+                ref_feat, train, shift_fn=sf("forward"), mode_list=mode_list
+            )
+            vol_tar = attention(
+                tar_feat, train, shift_fn=sf("backward"), mode_list=mode_list
+            )
         elif opt.get("attention_layout", "stacked") == "flat":
             # exact math in the mode-MAJOR layout: every mode-axis op works
             # on major dims, avoiding the [B,D,M,..] fold relayout copies

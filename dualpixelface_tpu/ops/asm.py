@@ -182,6 +182,12 @@ def subpixel_shift_planes(
         )
     if phase:
         planes_by_mode.append(phase_shift_multi(feat, [sign * d for d in disps]))
+    if layout == "list":
+        # no mode stack at all: the fast-attention path consumes the modes
+        # listwise (elementwise gating + reductions), so XLA fuses the
+        # static shifts into the consumers and the [B, D, M, H, W, C]
+        # materialization (+ its M-axis relayout copies) never exists
+        return planes_by_mode
     if layout == "flat":
         # mode-MAJOR stack: [M, B, D, H, W, C]. Folding to the conv batch is
         # then a pure major-dim reshape, where the stacked layout's
@@ -244,7 +250,14 @@ class MaskingAttention(nn.Module):
     dtype = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, shift_fn=None, flat: bool = False):
+    def __call__(
+        self,
+        x,
+        train: bool = False,
+        shift_fn=None,
+        flat: bool = False,
+        mode_list: bool = False,
+    ):
         """Exact mode (shift_fn=None): x = [B, D, M, H, W, C] pre-shifted
         planes, the conv head runs on every (plane, mode) — the reference
         semantics.
@@ -256,7 +269,9 @@ class MaskingAttention(nn.Module):
         convolution; deviation is confined to rows within the kernel radius
         of the shift seam (+ the InstanceNorm/train-BN statistics).
         D*M x fewer conv FLOPs (the dominant ASM cost, docs/PERFORMANCE.md).
-        Parameter tree is identical in both modes.
+        Parameter tree is identical in both modes. With mode_list=True,
+        shift_fn must return the modes as a LIST (layout='list') and the
+        mode axis is never materialized — same numerics, fewer copies.
         """
         # resolve the compute dtype explicitly: flax norm layers with
         # dtype=None promote to f32 (the f32 params win the promotion), which
@@ -293,6 +308,61 @@ class MaskingAttention(nn.Module):
         mask = _ModeFoldedConv(
             self.features, (1, 1), padding=0, dtype=dt, name="Conv_1"
         )(mask)
+
+        if shift_fn is not None and mode_list:
+            # LISTWISE fast mode: shift_fn returns the M mode planes as a
+            # list of [B, D, H, W, C] tensors (subpixel_shift_planes
+            # layout='list'). The mode axis never materializes — every
+            # mode-axis op (InstanceNorm stats, softmax, gated mean) is an
+            # elementwise expression across the list, so XLA fuses the
+            # static slice-shifts straight into the consumers instead of
+            # building + relayout-copying two [B, D, M, H, W, C] volumes
+            # per direction. Numerics are identical to the stacked fast
+            # path (same reduction sets, same shared parameter tree;
+            # asserted by tests/test_asm.py).
+            y_modes = shift_fn(x)  # list of M x [B, D, H, W, C]
+            mask_modes = shift_fn(mask[:, 0])
+            m = len(y_modes)
+            b, d, h, w, c = y_modes[0].shape
+            y_modes = [t.reshape(b * d, h, w, c) for t in y_modes]
+            mask_modes = [t.reshape(b * d, h, w, -1) for t in mask_modes]
+            # joint InstanceNorm statistics over (mode, h, w) per
+            # (plane-sample, channel) — the same set the stacked path's
+            # (m, h, w) reduction covers — computed in f32 across the list
+            npix = float(m * h * w)
+            s1 = sum(
+                jnp.sum(t.astype(jnp.float32), axis=(1, 2), keepdims=True)
+                for t in mask_modes
+            )
+            s2 = sum(
+                jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 2), keepdims=True)
+                for t in mask_modes
+            )
+            mean = s1 / npix
+            var = s2 / npix - jnp.square(mean)
+            norm = InstanceNorm(dtype=dt)
+            mask_modes = [norm(t, stats=(mean, var)) for t in mask_modes]
+            if self.act == "relu":
+                prelu = PReLU(init=0.05)
+                mask_modes = [prelu(t) for t in mask_modes]
+            elif self.act == "sigmoid":
+                mask_modes = [nn.sigmoid(t) for t in mask_modes]
+            else:
+                raise NotImplementedError(f"asm activation {self.act!r}")
+            # softmax over the mode list, elementwise across entries
+            mx = mask_modes[0]
+            for t in mask_modes[1:]:
+                mx = jnp.maximum(mx, t)
+            exps = [jnp.exp(t - mx) for t in mask_modes]
+            z = sum(exps)
+            gated = [yv * (e / z) for yv, e in zip(y_modes, exps)]
+            if self.feature_fetch:
+                avg = sum(gated) / m
+                avg2 = sum(t * t for t in gated) / m
+                out = avg2 - avg * avg
+            else:
+                out = sum(gated) / m
+            return out.reshape(b, d, h, w, c)
 
         if shift_fn is not None:
             planes = shift_fn(x)  # [B, D, M, H, W, C]

@@ -452,19 +452,25 @@ class _PerChannelNorm(nn.Module):
     reduce_axes: tuple | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
+        """stats: optional externally computed (mean, var), f32, broadcastable
+        against x — used by the listwise fast-attention path where the (mode,
+        h, w) statistics span several unstacked tensors."""
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         dt = x.dtype if self.dtype is None else self.dtype
-        red = (
-            self.reduce_axes
-            if self.reduce_axes is not None
-            else tuple(range(1, x.ndim - 1))
-        )
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=red, keepdims=True)
-        var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)
+        if stats is not None:
+            mean, var = stats
+        else:
+            red = (
+                self.reduce_axes
+                if self.reduce_axes is not None
+                else tuple(range(1, x.ndim - 1))
+            )
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=red, keepdims=True)
+            var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)
         inv = jax.lax.rsqrt(var + self.epsilon)
         a = (inv * scale.astype(jnp.float32)).astype(dt)
         b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)).astype(dt)
@@ -482,8 +488,8 @@ class InstanceNorm(nn.Module):
     reduce_axes: tuple | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None):
         return _PerChannelNorm(
             epsilon=self.epsilon, dtype=self.dtype,
             reduce_axes=self.reduce_axes, name="GroupNorm_0",
-        )(x)
+        )(x, stats=stats)

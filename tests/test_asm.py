@@ -180,3 +180,62 @@ def test_flat_attention_layout_full_cost_volume():
     out_s = mod_s.apply(var, ref, tar, train=False)
     out_f = mod_f.apply(var, ref, tar, train=False)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+
+
+def test_listwise_fast_attention_matches_stacked_fast():
+    """mode_list=True (layout='list' shift_fn) is the SAME math as the
+    stacked fast path: identical param tree, outputs equal to rounding."""
+    rng = np.random.default_rng(11)
+    feat = jnp.asarray(rng.standard_normal((2, 24, 20, 8)), jnp.float32)
+    disps = (-1.0, -0.5, 0.0, 0.5, 1.0, 1.5)
+    modes = dict(nearest=True, bilinear=True, phase=True)
+
+    for act, ff in (("sigmoid", False), ("relu", True)):
+        att = asm.MaskingAttention(features=8, act=act, feature_fetch=ff)
+        sf_stacked = lambda t: asm.subpixel_shift_planes(t, disps, "forward", **modes)
+        sf_list = lambda t: asm.subpixel_shift_planes(
+            t, disps, "forward", layout="list", **modes
+        )
+        var_s = att.init(jax.random.PRNGKey(0), feat, False, shift_fn=sf_stacked)
+        var_l = att.init(
+            jax.random.PRNGKey(0), feat, False, shift_fn=sf_list, mode_list=True
+        )
+        assert jax.tree_util.tree_structure(var_s) == jax.tree_util.tree_structure(var_l)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(var_s), jax.tree_util.tree_leaves(var_l)
+        ):
+            assert a.shape == b.shape
+
+        out_s = att.apply(var_s, feat, False, shift_fn=sf_stacked)
+        out_l = att.apply(var_s, feat, False, shift_fn=sf_list, mode_list=True)
+        np.testing.assert_allclose(
+            np.asarray(out_l), np.asarray(out_s), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_listwise_fast_attention_full_cost_volume():
+    """ASMCostVolume fast_attention with layout 'list' equals layout
+    'stacked' on the same params (env override plumbed through)."""
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models.stereodpnet.modules import ASMCostVolume
+
+    def build(layout):
+        cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+        cfg.data["model"]["fast_attention"] = True
+        cfg.data["model"]["fast_attention_layout"] = layout
+        opt = cfg.get_config()
+        return ASMCostVolume(option=opt, mindisp=opt.model.mindisp, maxdisp=opt.model.maxdisp)
+
+    rng = np.random.default_rng(5)
+    ref = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    tar = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+
+    mod_s = build("stacked")
+    mod_l = build("list")
+    var = mod_s.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    var_l = mod_l.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var_l)
+
+    out_s = mod_s.apply(var, ref, tar, train=False)
+    out_l = mod_l.apply(var, ref, tar, train=False)
+    np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_s), rtol=2e-5, atol=2e-6)

@@ -72,6 +72,11 @@ def main():
     init_cfg.data["model"]["deform_impl"] = "packed8"
     init_opt = init_cfg.get_config()
     init_anm = ANM(init_opt, init_opt.model.mindisp, init_opt.model.maxdisp)
+    # DPFACE_TARGET=tpu (documented AOT override) would win over the
+    # default-device context in tpu_lowering() and send the per-site pallas
+    # offset-head conv to Mosaic on CPU — drop it for the init only
+    import os
+    _tgt = os.environ.pop("DPFACE_TARGET", None)
     cpu = jax.local_devices(backend="cpu")[0]
     with jax.default_device(cpu):
         sc = jnp.zeros((b, d, 24, 24, 2 * c), jnp.bfloat16)
@@ -80,6 +85,8 @@ def main():
             lambda a: jax.device_put(a, cpu), batch
         )
         vs = init_anm.init(jax.random.PRNGKey(0), [sc], [sd], sb, False)
+    if _tgt is not None:
+        os.environ["DPFACE_TARGET"] = _tgt
     vs = jax.device_put(cast_floating(vs, jnp.bfloat16), jax.devices()[0])
 
     cr = make_costrange(opt.model.mindisp, opt.model.maxdisp, opt.model.level)

@@ -18,6 +18,16 @@ log() { echo "=== $* ($(date +%H:%M:%S))"; }
 PHASE="${1:-abbench}"
 
 if [[ "$PHASE" == *ab* ]]; then
+  log "fast-attention layout A/B: list (new default) vs stacked"
+  BENCH_FAST=1 BENCH_DEADLINE_S=1200 timeout 1300 python -u bench.py \
+    2>&1 | tee "$OUT/bench_attn_list.txt"
+  DPFACE_ATTN_LAYOUT=stacked BENCH_FAST=1 BENCH_DEADLINE_S=1200 timeout 1300 \
+    python -u bench.py 2>&1 | tee "$OUT/bench_attn_stacked.txt"
+
+  log "batch-8 throughput probe (serving batching headroom)"
+  BENCH_BATCH=8 BENCH_FAST=1 BENCH_DEADLINE_S=1200 timeout 1300 \
+    python -u bench.py 2>&1 | tee "$OUT/bench_b8.txt"
+
   log "dslice per-site folds: out vs pallas2 (full serving chain)"
   timeout 3000 python -u tools/bench_dslice_fold.py \
     --folds out,pallas2 --module convbn 2>&1 | tee "$OUT/dslice_r4.txt"
