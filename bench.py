@@ -128,6 +128,9 @@ def _build(config_name="train_synthetic_stereodpnet"):
     cfg.data["model"]["fused_regression"] = True
     cfg.data["model"]["deform_impl"] = "pallas"
     cfg.data["model"]["fast_attention"] = True
+    # per-site dslice folds (taps at the co=1 classifier heads, out
+    # elsewhere), selected on-chip 2026-08-19 — docs/PERFORMANCE.md round 4
+    cfg.data["model"]["agg_dfold"] = "auto"
     opt = cfg.get_config()
     model = model_selector(opt)
 

@@ -77,10 +77,10 @@ class PSMNetHGAggregation(nn.Module):
 
         def classify(x, name):
             y = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name=f"{name}_0")(x, train)
-            # same param tree as nn.Conv(1, (3,3,3)); the kd-folded 2-D form
-            # avoids the slow TPU 3-D conv lowering (cout=1 pads to the lane
-            # width either way — the 2-D conv amortizes it far better)
-            return _DSliceConv3D(1, name=f"{name}_1")(y)
+            # same param tree as nn.Conv(1, (3,3,3)); dfold='taps' swaps the
+            # matmul's M and N so the single output channel never starves
+            # the MXU's output lanes (~0.6% MFU on any conv formulation)
+            return _DSliceConv3D(1, dfold="taps", name=f"{name}_1")(y)
 
         cost1 = classify(out1, "classif1")
         cost2 = classify(out2, "classif2") + cost1

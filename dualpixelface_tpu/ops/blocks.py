@@ -131,11 +131,56 @@ class _DSliceConv3D(nn.Module):
         # on an env change (construct modules with dfold=... for in-process
         # A/Bs, as tools/bench_dslice_fold.py does).
         dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
-        if dfold not in ("out", "pallas", "pallas2"):
+        if dfold not in ("auto", "out", "pallas", "pallas2", "taps", "s2d", "cpack"):
             raise ValueError(
-                f"dfold {dfold!r} not in ('out', 'pallas', 'pallas2') — the "
-                "rejected A/B variants (in/out2/kdsum/bgc) live in tools/aot_micro.py"
+                f"dfold {dfold!r} not in ('auto', 'out', 'pallas', 'pallas2', "
+                "'taps', 's2d', 'cpack') — the rejected A/B variants "
+                "(in/out2/kdsum/bgc) live in tools/aot_micro.py"
             )
+        if dfold == "auto":
+            # per-site selection from the on-chip sweeps (2026-08-19,
+            # tools/bench_dslice_fold.py + full-model A/Bs;
+            # docs/PERFORMANCE.md round 4):
+            #  * co=1 classifier heads: 'taps' (1.30 vs 2.03 ms/conv
+            #    isolated; full model 39.67 -> 43.43 pairs/s)
+            #  * everything else: 'out'. 'cpack' (D-groups-of-4 on lanes)
+            #    wins its isolated microbench at the 32-channel stride-1
+            #    sites (1.87 vs 2.88 ms) but REGRESSED the full model
+            #    (43.43 -> 37.10): the pack/unpack relayouts the isolated
+            #    bench amortizes break XLA's fusion in context. It stays
+            #    explicitly selectable for future resident-layout work.
+            if co == 1 and self.strides == (1, 1, 1):
+                dfold = "taps"
+            else:
+                dfold = "out"
+        if dfold == "taps" and not (co == 1 and self.strides == (1, 1, 1)):
+            dfold = "out"
+        if dfold == "taps":
+            # single-output-channel head (the classifier convs): ANY conv
+            # formulation puts co on the MXU's N dim — 1 lane of 128, ~0.6%
+            # MFU measured. Swap M and N instead: P[k, m] = w[k, :] . x[m, :]
+            # puts the 27 taps on M (padded to the MXU tile, but the FLOPs
+            # are trivial) and the voxels on N, then the conv is 27 shifted
+            # adds of P's MAJOR-dim planes — compact reads, no lane waste.
+            wmat = kernel.reshape(27, c).astype(dt)  # [(kd,kh,kw), C]
+            p = jax.lax.dot_general(
+                wmat, x.astype(dt), (((1,), (4,)), ((), ())),
+                preferred_element_type=dt,
+            )  # [27, B, D, H, W]
+            pp = jnp.pad(p, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+            acc = None
+            k = 0
+            for kd in range(3):
+                for kh in range(3):
+                    for kw in range(3):
+                        term = pp[k, :, kd : kd + d, kh : kh + h, kw : kw + w]
+                        term = term.astype(jnp.float32)
+                        acc = term if acc is None else acc + term
+                        k += 1
+            out = acc.astype(dt)[..., None]
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return xla_epilogue(out)
         if dfold == "pallas2" and dt == jnp.bfloat16 and self.strides == (1, 1, 1):
             # kw-lane-folded kernel (kernels/conv3d_dslice.conv3d_dslice_v2):
             # no in-VMEM im2col concat — the v1 kernel's measured VPU floor
@@ -172,6 +217,49 @@ class _DSliceConv3D(nn.Module):
             # parity-extraction form Mosaic-compiles pathologically slowly
             # (>15 min at the hourglass shape) — strided convs keep XLA
             dfold = "out"
+        if dfold == "s2d":
+            # measured negative (round 4): the 2x2x2 space-to-depth pack of
+            # the stride-2 sites (parities onto channels, dense 2-tap VALID
+            # conv, K=8C) lost 1.8-2.4x to the plain strided fold — the
+            # major->minor parity relayout costs more than the strided
+            # conv's MFU deficit. Variant retired; see docs/PERFORMANCE.md.
+            dfold = "out"
+        if dfold == "cpack" and not (
+            self.strides == (1, 1, 1) and d % 4 == 0 and d >= 4
+        ):
+            dfold = "out"
+        if dfold == "cpack":
+            # D-groups-of-4 packed onto channels: the 'out' fold's 2-D conv
+            # reads C=32 of 128 input lanes (11% MFU measured at the dres
+            # sites); packing 4 D planes onto the lane dim with a 6-plane
+            # halo runs the SAME contraction as a dense [3,3,6C,4Co] conv at
+            # ~50% MFU (tools/bench_conv_probe.py) — 2x structural-zero
+            # FLOPs, >2x net. Out-plane block j takes in-plane blocks
+            # j+kd (kd 0..2) of its 6-plane halo window; halo edges are the
+            # conv's zero padding.
+            g = d // 4
+            xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0))).astype(dt)
+            xs = jnp.stack([xp[:, 4 * gi : 4 * gi + 6] for gi in range(g)], 1)
+            xs = jnp.moveaxis(xs, 2, 4).reshape(b * g, h, w, 6 * c)
+            wk = jnp.zeros((3, 3, 6 * c, 4 * co), kernel.dtype)
+            for j in range(4):
+                for kd in range(3):
+                    wk = wk.at[
+                        :, :,
+                        (j + kd) * c : (j + kd + 1) * c,
+                        j * co : (j + 1) * co,
+                    ].set(kernel[kd])
+            y = jax.lax.conv_general_dilated(
+                xs, wk.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )  # [b*g, h, w, 4*co]
+            out = jnp.moveaxis(
+                y.reshape(b, g, h, w, 4, co), 4, 2
+            ).reshape(b, d, h, w, co)
+            if self.use_bias:
+                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
+            return xla_epilogue(out)
         assert dfold == "out", dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)

@@ -180,3 +180,74 @@ def test_conv3d_dslice_pallas_grad_matches_twin():
     _, vjp_ref = jax.vjp(lambda a, b: conv3d_dslice_reference(a, b, 1), x, wm)
     for a, b in zip(vjp(g), vjp_ref(g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_dslice_taps_fold_matches_conv3d():
+    """dfold='taps' (single-output-channel classifier head) equals the plain
+    3-D conv; non-co-1 / strided sites silently fall back to 'out'."""
+    from dualpixelface_tpu.ops.blocks import _DSliceConv3D
+
+    b, d, h, w, c = 2, 4, 8, 8, 5
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((b, d, h, w, c)), jnp.float32)
+
+    mod = _DSliceConv3D(1, use_bias=True, dfold="taps")
+    var = mod.init(jax.random.PRNGKey(3), x)
+    ref = nn.Conv(1, kernel_size=(3, 3, 3), padding=[(1, 1)] * 3, use_bias=True)
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(var, x)), np.asarray(ref.apply(var, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+    # fallback: co>1 goes through 'out' (still exact)
+    mod2 = _DSliceConv3D(6, use_bias=False, dfold="taps")
+    var2 = mod2.init(jax.random.PRNGKey(4), x)
+    ref2 = nn.Conv(6, kernel_size=(3, 3, 3), padding=[(1, 1)] * 3, use_bias=False)
+    np.testing.assert_allclose(
+        np.asarray(mod2.apply(var2, x)), np.asarray(ref2.apply(var2, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_dslice_cpack_fold_matches_conv3d():
+    """dfold='cpack' (D-groups-of-4 on channels, 6-plane halo) equals the
+    plain 3-D conv; non-multiple-of-4 D falls back to 'out'."""
+    from dualpixelface_tpu.ops.blocks import _DSliceConv3D
+
+    b, d, h, w, c, co = 2, 8, 8, 8, 5, 7
+    x = jnp.asarray(np.random.default_rng(6).standard_normal((b, d, h, w, c)), jnp.float32)
+    mod = _DSliceConv3D(co, use_bias=True, dfold="cpack")
+    var = mod.init(jax.random.PRNGKey(7), x)
+    ref = nn.Conv(co, kernel_size=(3, 3, 3), padding=[(1, 1)] * 3, use_bias=True)
+    np.testing.assert_allclose(
+        np.asarray(mod.apply(var, x)), np.asarray(ref.apply(var, x)),
+        rtol=2e-5, atol=2e-5,
+    )
+    # fallback: d not a multiple of 4
+    x2 = x[:, :6]
+    mod2 = _DSliceConv3D(co, dfold="cpack")
+    var2 = mod2.init(jax.random.PRNGKey(8), x2)
+    ref2 = nn.Conv(co, kernel_size=(3, 3, 3), padding=[(1, 1)] * 3, use_bias=False)
+    np.testing.assert_allclose(
+        np.asarray(mod2.apply(var2, x2)), np.asarray(ref2.apply(var2, x2)),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_dslice_auto_fold_matches_conv3d():
+    """dfold='auto' (per-site taps/out selection) is exact at each of its
+    dispatch branches."""
+    from dualpixelface_tpu.ops.blocks import _DSliceConv3D
+
+    rng = np.random.default_rng(11)
+    for shape, co in [
+        ((2, 4, 8, 8, 5), 1),   # -> taps
+        ((2, 8, 8, 8, 5), 7),   # -> out (cpack removed from auto: full-model regression)
+        ((2, 6, 8, 8, 40), 7),  # -> out
+    ]:
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        mod = _DSliceConv3D(co, use_bias=True, dfold="auto")
+        var = mod.init(jax.random.PRNGKey(1), x)
+        ref = nn.Conv(co, kernel_size=(3, 3, 3), padding=[(1, 1)] * 3, use_bias=True)
+        np.testing.assert_allclose(
+            np.asarray(mod.apply(var, x)), np.asarray(ref.apply(var, x)),
+            rtol=2e-5, atol=2e-5,
+        )

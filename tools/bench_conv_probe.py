@@ -130,6 +130,12 @@ def main():
         probe_conv2d("dres fold conv 32x192x144 c32->96", 32, 192, 144, 32, 96)
         probe_conv2d("dres0_0 fold conv c64->96", 32, 192, 144, 64, 96)
         probe_conv2d("tower conv 8x384x288 c32->32", 8, 384, 288, 32, 32)
+        # channel-packing ceiling probes: same voxel*channel volume as the
+        # dres sites but with 128/192 lanes — is the low MFU an input-lane
+        # starvation problem (then D-into-C packing pays) or systemic?
+        probe_conv2d("cpack probe 8x192x144 c128->128", 8, 192, 144, 128, 128)
+        probe_conv2d("cpack halo probe c192->128", 8, 192, 144, 192, 128)
+        probe_conv2d("wide-N probe 32x192x144 c32->256", 32, 192, 144, 32, 256)
     if args.part in ("all", "dslice"):
         probe_dslice("dres* full dslice 32->32", 4, 8, 192, 144, 32, 32)
 
