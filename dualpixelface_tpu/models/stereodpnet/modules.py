@@ -21,43 +21,55 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dualpixelface_tpu.ops.asm import MaskingAttention, subpixel_shift_planes
+from dualpixelface_tpu.ops.s2d import s2d_concat, s2d_pack
 from dualpixelface_tpu.ops.blocks import ConvBN, DepthwiseSeparableConv, PReLU, he_normal_out
 from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
 from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
 
 
 class DPBlock(nn.Module):
-    """(ref modules.py:21-52)"""
+    """(ref modules.py:21-52)
+
+    s2d=True runs the block's stride-1 front (conv1/conv2/dilated/conv3) on
+    a space-to-depth packed input (ops/s2d.py: exact, same params/BN stats,
+    ~2-8x the MXU utilization at the tower's 32-channel 384x288 shapes);
+    requires ratio_s == 2 — the strided conv4/conv_skip then emit the dense
+    coarse grid, so the block's OUTPUT is the ordinary fine 1/2-res tensor
+    and no unpack op exists anywhere."""
 
     features: int
     ratio_s: int
     ratio_t: int
     reluw: float = 0.05
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        sd = self.s2d
+        assert not sd or self.ratio_s == 2, "s2d DPBlock requires a strided tail"
         c = self.features
-        out1 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, name="conv1")(x, train))
-        out2 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, name="conv2")(out1, train))
-        out2 = jnp.concatenate(
-            [
-                ConvBN(c, 3, 1, dilation=2 * i + 1, name=f"conv_dilate{i}")(out2, train)
-                for i in range(3)
-            ],
-            axis=-1,
-        )
-        out2 = ConvBN(c, 3, 1, 1, 1, name="conv3")(out2, train)
+        out1 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="conv1")(x, train))
+        out2 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="conv2")(out1, train))
+        branches = [
+            ConvBN(c, 3, 1, dilation=2 * i + 1, s2d=sd, name=f"conv_dilate{i}")(out2, train)
+            for i in range(3)
+        ]
+        out2 = s2d_concat(branches) if sd else jnp.concatenate(branches, axis=-1)
+        out2 = ConvBN(c, 3, 1, 1, 1, s2d=sd, name="conv3")(out2, train)
         out = PReLU(self.reluw)(out2 + out1)
 
         out = PReLU(self.reluw)(
-            ConvBN(self.ratio_t * c, 3, self.ratio_s, dilation=2, name="conv4")(out, train)
+            ConvBN(self.ratio_t * c, 3, self.ratio_s, dilation=2, s2d=sd,
+                   name="conv4")(out, train)
         )
         out = DepthwiseSeparableConv(self.ratio_t * c, 3, 1, name="conv5")(out, train)
 
+        # fine 1x1/stride-2 == 1x1/stride-1 on the packed (0,0)-parity slice
         skip = nn.Conv(
-            self.ratio_t * c, (1, 1), strides=(self.ratio_s, self.ratio_s),
+            self.ratio_t * c, (1, 1),
+            strides=(1, 1) if sd else (self.ratio_s, self.ratio_s),
             kernel_init=he_normal_out, name="conv_skip",
-        )(x)
+        )(x[..., :c] if sd else x)
         return out + skip
 
 
@@ -100,10 +112,21 @@ class FeatureExtraction(nn.Module):
 
         # stem: half resolution
         y = nn.relu(ConvBN(c, 3, 2, 1, 1, name="firstconv0")(x, train))
-        y = nn.relu(ConvBN(c, 3, 1, 1, 1, name="firstconv1")(y, train))
-        initial = nn.relu(ConvBN(c, 3, 1, 1, 1, name="firstconv2")(y, train))
+        # tower_s2d: run the 1/2-resolution convs (the tower's dominant
+        # cost: C=32 at 384x288 runs at ~6% MFU, its s2d form at ~50-80%,
+        # tools/bench_conv_probe.py --part s2d) space-to-depth packed —
+        # exact (same params + BN stats, ops/s2d.py); block1's strided tail
+        # emits the 1/4 grid natively so the pack is the only extra op.
+        sd_cfg = os.environ.get(
+            "DPFACE_TOWER_S2D", str(opt.get("tower_s2d", False))
+        ).lower() in ("1", "true")
+        sd = sd_cfg and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+        if sd:
+            y = s2d_pack(y)
+        y = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv1")(y, train))
+        initial = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv2")(y, train))
 
-        out1 = DPBlock(c, 2, 1, name="block1")(initial, train)  # 1/4, C
+        out1 = DPBlock(c, 2, 1, s2d=sd, name="block1")(initial, train)  # 1/4, C
         out2 = out1
         for i in range(stack):
             out2 = DPBlock(c, 1, 1, name=f"interblock1_{i}")(out2, train)

@@ -53,9 +53,34 @@ class ConvBN(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     dtype: Dtype = None
+    # s2d=True: input is a space-to-depth packed [N, Hc, Wc, 4*Cin] tensor
+    # (ops/s2d.py); stride 1 emits packed, stride 2 emits the dense coarse
+    # grid. Params ('Conv_0' kernel, 'BatchNorm_0') and BN statistics are
+    # identical to the fine path — see the s2d module docstring.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d:
+            from dualpixelface_tpu.ops.s2d import S2DBatchNorm, S2DConv
+
+            assert self.pad is None or self.pad == torch_pad(
+                self.kernel_size, self.dilation
+            ), "s2d path supports torch_pad (SAME) semantics only"
+            y = S2DConv(
+                self.features, self.kernel_size, self.strides, self.dilation,
+                use_bias=self.use_bias, kernel_init=he_normal_out,
+                dtype=self.dtype, name="Conv_0",
+            )(x)
+            if self.strides == 1:  # packed output: BN without leaving 4C lanes
+                return S2DBatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="BatchNorm_0",
+                )(y)
+            return nn.BatchNorm(  # stride-2 emits the dense coarse grid
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="BatchNorm_0",
+            )(y)
         p = self.pad if self.pad is not None else torch_pad(self.kernel_size, self.dilation)
         x = nn.Conv(
             self.features,

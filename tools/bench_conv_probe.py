@@ -46,15 +46,18 @@ def chained(fn, reps=8):
     return run, reps
 
 
-def probe_conv2d(label, n, h, w, c, co, reps=8, dtype=jnp.bfloat16):
+def probe_conv2d(label, n, h, w, c, co, reps=8, dtype=jnp.bfloat16,
+                 ksize=3, dilation=1, skip_im2col=False):
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
-    k = jnp.asarray(rng.standard_normal((3, 3, c, co)) * 0.1, dtype)
-    flops = 2 * n * h * w * 9 * c * co
+    k = jnp.asarray(rng.standard_normal((ksize, ksize, c, co)) * 0.1, dtype)
+    flops = 2 * n * h * w * ksize * ksize * c * co
+    pad = dilation * (ksize - 1) // 2
 
     def conv(x_, k_):
         return jax.lax.conv_general_dilated(
-            x_, k_, (1, 1), [(1, 1), (1, 1)],
+            x_, k_, (1, 1), [(pad, pad), (pad, pad)],
+            rhs_dilation=(dilation, dilation),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=dtype,
         )
@@ -63,6 +66,8 @@ def probe_conv2d(label, n, h, w, c, co, reps=8, dtype=jnp.bfloat16):
     ms = timeit(run, x, k) / reps_
     print(f"{label:34s} conv2d    {ms:7.3f} ms  {flops/ms/1e9:7.1f} GF/ms "
           f"({flops/ms*1e3/197e12*100:5.1f}% of 197T)")
+    if skip_im2col or ksize != 3 or dilation != 1:
+        return
 
     def im2col_dot(x_, k_):
         xp = jnp.pad(x_, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -114,7 +119,8 @@ def probe_dslice(label, b, d, h, w, c, co, reps=8, dtype=jnp.bfloat16):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--part", default="all", choices=("all", "conv", "gemm", "dslice"))
+    ap.add_argument("--part", default="all",
+                    choices=("all", "conv", "gemm", "dslice", "s2d"))
     args = ap.parse_args()
     jax.config.update(
         "jax_compilation_cache_dir",
@@ -138,6 +144,26 @@ def main():
         probe_conv2d("wide-N probe 32x192x144 c32->256", 32, 192, 144, 32, 256)
     if args.part in ("all", "dslice"):
         probe_dslice("dres* full dslice 32->32", 4, 8, 192, 144, 32, 32)
+    if args.part in ("all", "s2d"):
+        # tower space-to-depth candidates (b4 forward = 8 tower images).
+        # Fine baselines: what the stem/block1 convs cost today at 384x288
+        # C=32, incl. the dilation-3/5 branches; s2d forms: the same math as
+        # ONE coarse 192x144 conv at 128 channels (3x3 for s1/d1 fine convs
+        # at 25% weight density, 5x5 for d=3 at 9%, 7x7 for d=5 at 4.6%).
+        probe_conv2d("fine 3x3 d1 8x384x288 c32->32", 8, 384, 288, 32, 32,
+                     skip_im2col=True)
+        probe_conv2d("fine 3x3 d3 8x384x288 c32->32", 8, 384, 288, 32, 32,
+                     dilation=3)
+        probe_conv2d("fine 3x3 d5 8x384x288 c32->32", 8, 384, 288, 32, 32,
+                     dilation=5)
+        probe_conv2d("s2d 3x3 8x192x144 c128->128", 8, 192, 144, 128, 128,
+                     skip_im2col=True)
+        probe_conv2d("s2d 5x5 8x192x144 c128->128", 8, 192, 144, 128, 128,
+                     ksize=5)
+        probe_conv2d("s2d 7x7 8x192x144 c128->128", 8, 192, 144, 128, 128,
+                     ksize=7)
+        probe_conv2d("s2d conv4 3x3 c128->32", 8, 192, 144, 128, 32,
+                     skip_im2col=True)
 
 
 if __name__ == "__main__":
