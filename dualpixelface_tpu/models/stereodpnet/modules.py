@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dualpixelface_tpu.ops.asm import MaskingAttention, subpixel_shift_planes
-from dualpixelface_tpu.ops.s2d import s2d_concat, s2d_pack
+from dualpixelface_tpu.ops.s2d import S2DConv, s2d_concat, s2d_pack
 from dualpixelface_tpu.ops.blocks import ConvBN, DepthwiseSeparableConv, PReLU, he_normal_out
 from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
 from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
@@ -30,12 +30,13 @@ from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
 class DPBlock(nn.Module):
     """(ref modules.py:21-52)
 
-    s2d=True runs the block's stride-1 front (conv1/conv2/dilated/conv3) on
-    a space-to-depth packed input (ops/s2d.py: exact, same params/BN stats,
-    ~2-8x the MXU utilization at the tower's 32-channel 384x288 shapes);
-    requires ratio_s == 2 — the strided conv4/conv_skip then emit the dense
-    coarse grid, so the block's OUTPUT is the ordinary fine 1/2-res tensor
-    and no unpack op exists anywhere."""
+    s2d=True takes a space-to-depth packed input (ops/s2d.py: exact, same
+    params/BN stats, ~2-8x the MXU utilization at the tower's 32-channel
+    shapes). ratio_s == 2: the strided conv4/conv_skip emit the dense
+    coarse grid, so the block's OUTPUT is the ordinary fine half-res tensor
+    and no unpack op exists anywhere. ratio_s == 1 (the interblocks): every
+    conv is stride-1, so the block maps packed -> packed (conv5's depthwise
+    and the 1x1 skip run as parity-structured coarse convs)."""
 
     features: int
     ratio_s: int
@@ -46,7 +47,6 @@ class DPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         sd = self.s2d
-        assert not sd or self.ratio_s == 2, "s2d DPBlock requires a strided tail"
         c = self.features
         out1 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="conv1")(x, train))
         out2 = PReLU(self.reluw)(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="conv2")(out1, train))
@@ -62,14 +62,22 @@ class DPBlock(nn.Module):
             ConvBN(self.ratio_t * c, 3, self.ratio_s, dilation=2, s2d=sd,
                    name="conv4")(out, train)
         )
-        out = DepthwiseSeparableConv(self.ratio_t * c, 3, 1, name="conv5")(out, train)
+        out = DepthwiseSeparableConv(
+            self.ratio_t * c, 3, 1, s2d=sd and self.ratio_s == 1, name="conv5"
+        )(out, train)
 
-        # fine 1x1/stride-2 == 1x1/stride-1 on the packed (0,0)-parity slice
-        skip = nn.Conv(
-            self.ratio_t * c, (1, 1),
-            strides=(1, 1) if sd else (self.ratio_s, self.ratio_s),
-            kernel_init=he_normal_out, name="conv_skip",
-        )(x[..., :c] if sd else x)
+        if sd and self.ratio_s == 1:  # packed 1x1: parity-diagonal coarse conv
+            skip = S2DConv(
+                self.ratio_t * c, 1, use_bias=True,
+                kernel_init=he_normal_out, name="conv_skip",
+            )(x)
+        else:
+            # fine 1x1/stride-2 == 1x1/stride-1 on the packed (0,0)-parity slice
+            skip = nn.Conv(
+                self.ratio_t * c, (1, 1),
+                strides=(1, 1) if sd else (self.ratio_s, self.ratio_s),
+                kernel_init=he_normal_out, name="conv_skip",
+            )(x[..., :c] if sd else x)
         return out + skip
 
 
@@ -112,29 +120,33 @@ class FeatureExtraction(nn.Module):
 
         # stem: half resolution
         y = nn.relu(ConvBN(c, 3, 2, 1, 1, name="firstconv0")(x, train))
-        # tower_s2d: run the 1/2-resolution convs (the tower's dominant
+        # tower_s2d: run the pyramid's stride-1 convs (the tower's dominant
         # cost: C=32 at 384x288 runs at ~6% MFU, its s2d form at ~50-80%,
         # tools/bench_conv_probe.py --part s2d) space-to-depth packed —
-        # exact (same params + BN stats, ops/s2d.py); block1's strided tail
-        # emits the 1/4 grid natively so the pack is the only extra op.
+        # exact (same params + BN stats, ops/s2d.py). Each strided block
+        # tail emits the next dense grid natively, so the only extra ops
+        # are the three packs (1/2, 1/4, 1/8 — cheap relayouts).
         sd_cfg = os.environ.get(
             "DPFACE_TOWER_S2D", str(opt.get("tower_s2d", False))
         ).lower() in ("1", "true")
-        sd = sd_cfg and y.shape[1] % 2 == 0 and y.shape[2] % 2 == 0
+        # the whole pyramid runs packed (1/2, 1/4 and 1/8 regions), so the
+        # half-res dims must pack down to an even 1/8 grid; factor-96 inputs
+        # (preprocess rounding) always satisfy this
+        sd = sd_cfg and y.shape[1] % 8 == 0 and y.shape[2] % 8 == 0
         if sd:
             y = s2d_pack(y)
         y = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv1")(y, train))
         initial = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv2")(y, train))
 
         out1 = DPBlock(c, 2, 1, s2d=sd, name="block1")(initial, train)  # 1/4, C
-        out2 = out1
+        out2 = s2d_pack(out1) if sd else out1
         for i in range(stack):
-            out2 = DPBlock(c, 1, 1, name=f"interblock1_{i}")(out2, train)
-        out2 = DPBlock(c, 2, 2, name="block2")(out2, train)  # 1/8, 2C
-        out3 = out2
+            out2 = DPBlock(c, 1, 1, s2d=sd, name=f"interblock1_{i}")(out2, train)
+        out2 = DPBlock(c, 2, 2, s2d=sd, name="block2")(out2, train)  # 1/8, 2C
+        out3 = s2d_pack(out2) if sd else out2
         for i in range(stack):
-            out3 = DPBlock(2 * c, 1, 1, name=f"interblock2_{i}")(out3, train)
-        out3 = DPBlock(2 * c, 2, 2, name="block3")(out3, train)  # 1/16, 4C
+            out3 = DPBlock(2 * c, 1, 1, s2d=sd, name=f"interblock2_{i}")(out3, train)
+        out3 = DPBlock(2 * c, 2, 2, s2d=sd, name="block3")(out3, train)  # 1/16, 4C
 
         high, mid, low = FPN(c, name="fpn")([out1, out2, out3])
 

@@ -511,9 +511,38 @@ class DepthwiseSeparableConv(nn.Module):
     relu: bool = True
     reluw: float = 0.05
     dtype: Dtype = None
+    # s2d=True: input/output are space-to-depth packed [N, Hc, Wc, 4C]
+    # tensors (ops/s2d.py; stride-1 only). Same params ('Conv_0' depthwise,
+    # 'Conv_1' pointwise, 'BatchNorm_0'), outputs and BN statistics.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.s2d:
+            from dualpixelface_tpu.ops.s2d import (
+                S2DBatchNorm,
+                S2DConv,
+                S2DDepthwiseConv,
+            )
+
+            assert self.padding == torch_pad(self.kernel_size), \
+                "s2d path supports torch_pad (SAME) semantics only"
+            x = S2DDepthwiseConv(
+                self.kernel_size, use_bias=self.use_bias,
+                kernel_init=he_normal_out, dtype=self.dtype, name="Conv_0",
+            )(x)
+            x = S2DConv(
+                self.features, 1, 1, 1, use_bias=self.use_bias,
+                kernel_init=he_normal_out, dtype=self.dtype, name="Conv_1",
+            )(x)
+            if self.bn:
+                x = S2DBatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="BatchNorm_0",
+                )(x)
+            if self.relu:
+                x = PReLU(init=self.reluw)(x)
+            return x
         in_ch = x.shape[-1]
         p = self.padding
         x = nn.Conv(

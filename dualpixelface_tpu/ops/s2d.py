@@ -105,6 +105,64 @@ def scatter_kernel(kernel, dilation: int, stride: int):
     return kc
 
 
+def scatter_kernel_depthwise(kernel, dilation: int = 1):
+    """Fine DEPTHWISE [k, k, 1, C] kernel (flax grouped-conv layout) ->
+    dense coarse [K, K, 4C, 4C] kernel whose (parity_in -> parity_out)
+    blocks are C-diagonal.
+
+    A fine depthwise conv crosses parity blocks in packed space (the packed
+    layout is parity-major, so the four parities of one fine channel are
+    strided by C — not expressible as a coarse grouped conv), and depthwise
+    convs are VPU work the MXU runs circles around anyway: the dense
+    scattered form burns 4C x the FLOPs but stays in the packed 4C-lane
+    layout with zero relayouts."""
+    k = kernel.shape[0]
+    c = kernel.shape[3]
+    taps = _tap_positions(k, dilation, 1)
+    kk = s2d_kernel_extent(k, dilation, 1)
+    p = (kk - 1) // 2
+    ar = jnp.arange(c)
+    kc = jnp.zeros((kk, kk, 4 * c, 4 * c), kernel.dtype)
+    for dy, a_o, sy, a_i in taps:
+        for dx, b_o, sx, b_i in taps:
+            pi = (a_i * 2 + b_i) * c
+            po = (a_o * 2 + b_o) * c
+            kc = kc.at[sy + p, sx + p, pi + ar, po + ar].set(kernel[dy, dx, 0])
+    return kc
+
+
+class S2DDepthwiseConv(nn.Module):
+    """Drop-in for `nn.Conv(C, (k,k), feature_group_count=C, padding=p)`
+    on a PACKED [N, Hc, Wc, 4C] tensor (stride 1). Declares the identical
+    ('kernel' [k,k,1,C], optional 'bias' [C]) parameters — instantiate with
+    the fine module's name for a checkpoint-identical tree."""
+
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = False
+    kernel_init: Any = nn.initializers.lecun_normal()
+    bias_init: Any = nn.initializers.zeros
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1] // 4
+        k = self.kernel_size
+        kernel = self.param("kernel", self.kernel_init, (k, k, 1, c))
+        dt = x.dtype if self.dtype is None else self.dtype
+        kc = scatter_kernel_depthwise(kernel, self.dilation).astype(dt)
+        p = (kc.shape[0] - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), kc, (1, 1), [(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (c,)).astype(dt)
+            y = y + jnp.tile(bias, 4)
+        return y
+
+
 class S2DConv(nn.Module):
     """Drop-in for `nn.Conv(features, (k,k), strides, padding=torch_pad,
     kernel_dilation)` operating on a PACKED [N, Hc, Wc, 4*Cin] tensor.

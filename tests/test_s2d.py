@@ -66,6 +66,43 @@ def test_s2d_concat_matches_fine_concat():
     )
 
 
+def test_s2d_depthwise_matches_fine():
+    from dualpixelface_tpu.ops.s2d import S2DDepthwiseConv
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 4)), jnp.float32)
+    mod = S2DDepthwiseConv(3, use_bias=True)
+    var = mod.init(jax.random.PRNGKey(3), s2d_pack(x))
+    assert var["params"]["kernel"].shape == (3, 3, 1, 4)
+    got = s2d_unpack(mod.apply(var, s2d_pack(x)))
+    ref = jax.lax.conv_general_dilated(
+        x, var["params"]["kernel"], (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=4,
+    ) + var["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dpblock_interblock_packed_roundtrip():
+    """ratio_s=1 DPBlock maps packed->packed with the fine param tree
+    (conv5's depthwise + the 1x1 skip as parity-structured coarse convs)."""
+    from dualpixelface_tpu.models.stereodpnet.modules import DPBlock
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 5)), jnp.float32)
+    fine = DPBlock(5, 1, 1)
+    s2d = DPBlock(5, 1, 1, s2d=True)
+    var = fine.init(jax.random.PRNGKey(4), x)
+    var2 = s2d.init(jax.random.PRNGKey(4), s2d_pack(x))
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var2)
+    for a, b in zip(jax.tree_util.tree_leaves(var), jax.tree_util.tree_leaves(var2)):
+        assert a.shape == b.shape
+    y_fine = fine.apply(var, x, False)
+    y_s2d = s2d_unpack(s2d.apply(var, s2d_pack(x), False))
+    np.testing.assert_allclose(
+        np.asarray(y_s2d), np.asarray(y_fine), rtol=5e-5, atol=5e-5
+    )
+
+
 def _tower_pair(hw=32):
     from tests.test_end_to_end import tiny_option
     from dualpixelface_tpu.models.stereodpnet.modules import FeatureExtraction
