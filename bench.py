@@ -131,9 +131,11 @@ def _build(config_name="train_synthetic_stereodpnet"):
     # per-site dslice folds (taps at the co=1 classifier heads, out
     # elsewhere), selected on-chip 2026-08-19 — docs/PERFORMANCE.md round 4
     cfg.data["model"]["agg_dfold"] = "auto"
-    # space-to-depth tower: EXACT reparametrization of the 1/2-res convs
-    # (ops/s2d.py; tower A/B 24.4 -> 22.0 ms b8 768x576, train +1.1 pairs/s)
-    cfg.data["model"]["tower_s2d"] = True
+    # space-to-depth tower, HALF extent (stem + block1; exact
+    # reparametrization, ops/s2d.py). Same-session forward A/B at b4
+    # 768x576: off 40.85 / half 40.83 / full 40.11 pairs/s — the packed
+    # 1/4+1/8 regions lose on the forward, so serving keeps 'half'
+    cfg.data["model"]["tower_s2d"] = "half"
     opt = cfg.get_config()
     model = model_selector(opt)
 
@@ -226,8 +228,10 @@ def measure_train_step():
     # round 3: fused_softargmin now has a Pallas backward (custom_vjp), so
     # training also skips the x64 full-res logit/prob materialization
     cfg.data["model"]["fused_regression"] = True
-    # exact s2d tower (same params/grads/BN stats; backward benefits ~2x)
-    cfg.data["model"]["tower_s2d"] = True
+    # exact s2d tower, FULL pyramid extent (the backward doubles the conv
+    # work, so the packed interblocks pay off in training where they lose
+    # on the forward): same-session train A/B half 8.16 / full 8.47 pairs/s
+    cfg.data["model"]["tower_s2d"] = "full"
     opt = cfg.get_config()
     model = model_selector(opt)
     batch = jax.tree_util.tree_map(
@@ -294,7 +298,7 @@ def _worker():
         # (windowed Pallas deform + fused regression — stereodpnet_plus's
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
-        "config": "serving fast paths (deform_impl=pallas, fused_regression, fast_attention, agg_dfold=auto, tower_s2d)"
+        "config": "serving fast paths (deform_impl=pallas, fused_regression, fast_attention, agg_dfold=auto, tower_s2d=half)"
         + (f" +DPFACE_DSLICE_FOLD={_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,

@@ -126,27 +126,32 @@ class FeatureExtraction(nn.Module):
         # exact (same params + BN stats, ops/s2d.py). Each strided block
         # tail emits the next dense grid natively, so the only extra ops
         # are the three packs (1/2, 1/4, 1/8 — cheap relayouts).
-        sd_cfg = os.environ.get(
+        # mode: 'half'/'1'/'true' = stem + block1 only (the 1/2-res region,
+        # the dominant cost); 'full' = also pack the 1/4 and 1/8 regions
+        # (interblocks + block2/3). On-chip A/B (docs/PERFORMANCE.md round 4)
+        # picks the serving default.
+        sd_mode = os.environ.get(
             "DPFACE_TOWER_S2D", str(opt.get("tower_s2d", False))
-        ).lower() in ("1", "true")
-        # the whole pyramid runs packed (1/2, 1/4 and 1/8 regions), so the
-        # half-res dims must pack down to an even 1/8 grid; factor-96 inputs
+        ).lower()
+        sd_cfg = sd_mode in ("1", "true", "half", "full")
+        # the packed regions' dims must divide down evenly; factor-96 inputs
         # (preprocess rounding) always satisfy this
         sd = sd_cfg and y.shape[1] % 8 == 0 and y.shape[2] % 8 == 0
+        sd_full = sd and sd_mode == "full"
         if sd:
             y = s2d_pack(y)
         y = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv1")(y, train))
         initial = nn.relu(ConvBN(c, 3, 1, 1, 1, s2d=sd, name="firstconv2")(y, train))
 
         out1 = DPBlock(c, 2, 1, s2d=sd, name="block1")(initial, train)  # 1/4, C
-        out2 = s2d_pack(out1) if sd else out1
+        out2 = s2d_pack(out1) if sd_full else out1
         for i in range(stack):
-            out2 = DPBlock(c, 1, 1, s2d=sd, name=f"interblock1_{i}")(out2, train)
-        out2 = DPBlock(c, 2, 2, s2d=sd, name="block2")(out2, train)  # 1/8, 2C
-        out3 = s2d_pack(out2) if sd else out2
+            out2 = DPBlock(c, 1, 1, s2d=sd_full, name=f"interblock1_{i}")(out2, train)
+        out2 = DPBlock(c, 2, 2, s2d=sd_full, name="block2")(out2, train)  # 1/8, 2C
+        out3 = s2d_pack(out2) if sd_full else out2
         for i in range(stack):
-            out3 = DPBlock(2 * c, 1, 1, s2d=sd, name=f"interblock2_{i}")(out3, train)
-        out3 = DPBlock(2 * c, 2, 2, s2d=sd, name="block3")(out3, train)  # 1/16, 4C
+            out3 = DPBlock(2 * c, 1, 1, s2d=sd_full, name=f"interblock2_{i}")(out3, train)
+        out3 = DPBlock(2 * c, 2, 2, s2d=sd_full, name="block3")(out3, train)  # 1/16, 4C
 
         high, mid, low = FPN(c, name="fpn")([out1, out2, out3])
 

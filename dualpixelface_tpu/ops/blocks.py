@@ -298,14 +298,18 @@ class _DSliceConv3D(nn.Module):
         )
         ho, wo = y.shape[1], y.shape[2]
         # out[do] = sum_kd y[do*sd + kd - 1, kd-th channel group] via pad +
-        # D-shifted strided slices. (A 0/1-selection conv over the D axis was
-        # tried to avoid the channel-group relayout copies, but measured
-        # ~20 ms slower across the depth path.)
-        y = y.reshape(b, d, ho, wo, 3, co)
-        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0), (0, 0)))
-        out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0]
+        # D-shifted strided slices. The kd groups are sliced off the 3*Co
+        # LANE axis directly — an earlier [..., 3, co] reshape made co=32
+        # the minor dim and cost a 0.7 ms layout-flip copy around every
+        # hourglass conv, fwd AND bwd (train profile 2026-08-19). (A 0/1-
+        # selection conv over the D axis was also tried; ~20 ms slower.)
+        y = y.reshape(b, d, ho, wo, 3 * co)
+        yp = jnp.pad(y, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = yp[:, 0 : (do - 1) * sd + 1 : sd, :, :, 0:co]
         for kd in (1, 2):
-            out = out + yp[:, kd : kd + (do - 1) * sd + 1 : sd, :, :, kd]
+            out = out + yp[
+                :, kd : kd + (do - 1) * sd + 1 : sd, :, :, kd * co : (kd + 1) * co
+            ]
         if self.use_bias:
             out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
         return xla_epilogue(out)

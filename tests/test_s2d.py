@@ -103,20 +103,21 @@ def test_dpblock_interblock_packed_roundtrip():
     )
 
 
-def _tower_pair(hw=32):
+def _tower_pair(hw=32, mode=True):
     from tests.test_end_to_end import tiny_option
     from dualpixelface_tpu.models.stereodpnet.modules import FeatureExtraction
 
     opt = tiny_option(model_name="stereodpnet", hw=(hw, hw))
     fine = FeatureExtraction(opt)
     opt2 = tiny_option(model_name="stereodpnet", hw=(hw, hw))
-    opt2.model._raw["tower_s2d"] = True
+    opt2.model._raw["tower_s2d"] = mode
     s2d = FeatureExtraction(opt2)
     return fine, s2d
 
 
-def test_feature_extraction_s2d_exact_eval():
-    fine, s2d = _tower_pair()
+@pytest.mark.parametrize("mode", [True, "full"])
+def test_feature_extraction_s2d_exact_eval(mode):
+    fine, s2d = _tower_pair(mode=mode)
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     var = fine.init(jax.random.PRNGKey(1), x)
@@ -132,8 +133,9 @@ def test_feature_extraction_s2d_exact_eval():
     )
 
 
-def test_feature_extraction_s2d_train_stats_match():
-    fine, s2d = _tower_pair()
+@pytest.mark.parametrize("mode", [True, "full"])
+def test_feature_extraction_s2d_train_stats_match(mode):
+    fine, s2d = _tower_pair(mode=mode)
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
     var = fine.init(jax.random.PRNGKey(2), x)

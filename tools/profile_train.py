@@ -33,7 +33,7 @@ def main():
     cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
     cfg.data["model"]["deform_impl"] = "pallas"
     cfg.data["model"]["fused_regression"] = True
-    cfg.data["model"]["tower_s2d"] = True  # mirror bench.measure_train_step
+    cfg.data["model"]["tower_s2d"] = "full"  # mirror bench.measure_train_step
     opt = cfg.get_config()
     model = model_selector(opt)
     batch = jax.tree_util.tree_map(
