@@ -189,7 +189,13 @@ class ASMCostVolume(nn.Module):
 
         attention = MaskingAttention(
             features=opt.inplanes, act=opt.asm_activation,
-            feature_fetch=opt.feature_fetch, name="attention",
+            feature_fetch=opt.feature_fetch,
+            # exact packed execution of the mask-head convs (ops/asm.py
+            # head_s2d) — the train step's dominant cost-volume cost
+            head_s2d=os.environ.get(
+                "DPFACE_ASM_HEAD_S2D", str(opt.get("asm_head_s2d", False))
+            ).lower() in ("1", "true"),
+            name="attention",
         )
         if opt.get("fast_attention", False):
             # hoisted mask head: the conv chain runs once per feature map and

@@ -208,11 +208,38 @@ class _ModeFoldedConv(nn.Module):
     kernel_size: tuple
     padding: int = 0
     dtype: object = None
+    # s2d=True: input is PACKED [N, M, Hc, Wc, 4C] (ops/s2d.py) and the fine
+    # kernel is scattered into the parity-structured coarse form — identical
+    # parameter ((1, kh, kw, C, F)) and math, 4x the lane occupancy at the
+    # attention head's C=32 quarter-res shapes. Requires SAME padding
+    # (padding == (k-1)//2), which both head convs use.
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
-        n, m, h, w, c = x.shape
         kh, kw = self.kernel_size
+        if self.s2d:
+            from dualpixelface_tpu.ops.s2d import scatter_kernel
+
+            assert self.padding == (kh - 1) // 2, "s2d head needs SAME padding"
+            n, m, hc, wc, c4 = x.shape
+            c = c4 // 4
+            kernel = self.param(
+                "kernel", he_normal_out, (1, kh, kw, c, self.features)
+            )
+            dt = x.dtype if self.dtype is None else self.dtype
+            kc = scatter_kernel(kernel[0], 1, 1).astype(dt)
+            p = (kc.shape[0] - 1) // 2
+            y = jax.lax.conv_general_dilated(
+                x.reshape(n * m, hc, wc, c4).astype(dt),
+                kc,
+                (1, 1),
+                [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )
+            return y.reshape(n, m, hc, wc, 4 * self.features)
+        n, m, h, w, c = x.shape
         kernel = self.param(
             "kernel", he_normal_out, (1, kh, kw, c, self.features)
         )
@@ -245,6 +272,13 @@ class MaskingAttention(nn.Module):
     features: int
     act: str = "sigmoid"
     feature_fetch: bool = False
+    # head_s2d: run the (Conv_0 -> BN -> relu -> Conv_1) mask head
+    # space-to-depth packed (ops/s2d.py) — exact (same params + BN stats;
+    # S2DBatchNorm pools the four parities), 4x the lane occupancy at the
+    # head's C=32 quarter-res shapes. Train-profile motivation: the head's
+    # fwd+bwd+remat-recompute convs were ~15 ms/step of the b2 768x576
+    # train step (docs/PERFORMANCE.md round 4). Requires even H, W.
+    head_s2d: bool = False
     # None = follow the input dtype (bf16 under the training policy — halves
     # the [B*D, M, H, W, C] elementwise traffic); fp32 inputs stay exact
     dtype = None
@@ -298,16 +332,37 @@ class MaskingAttention(nn.Module):
         # 2-D convs with the mode axis folded into the batch — XLA's TPU 3-D
         # conv path is single-digit-MFU even for kd=1. Params keep the exact
         # nn.Conv kernel shapes ((1,3,3,C,F) / (1,1,1,C,F)) for converters.
+        hs2d = self.head_s2d and head_in.shape[2] % 2 == 0 and head_in.shape[3] % 2 == 0
+        if hs2d:
+            from dualpixelface_tpu.ops.s2d import S2DBatchNorm, s2d_pack, s2d_unpack
+
+            nh, mh, hh, wh, ch = head_in.shape
+            head_in = s2d_pack(
+                head_in.reshape(nh * mh, hh, wh, ch)
+            ).reshape(nh, mh, hh // 2, wh // 2, 4 * ch)
         mask = _ModeFoldedConv(
-            self.features, (3, 3), padding=1, dtype=dt, name="Conv_0"
+            self.features, (3, 3), padding=1, dtype=dt, s2d=hs2d, name="Conv_0"
         )(head_in)
-        mask = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
-        )(mask)
-        mask = nn.relu(mask)
+        if hs2d:
+            mf = mask.shape
+            mask = S2DBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=dt, name="BatchNorm_0",
+            )(mask.reshape(mf[0] * mf[1], *mf[2:]))
+            mask = nn.relu(mask).reshape(mf)
+        else:
+            mask = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dt
+            )(mask)
+            mask = nn.relu(mask)
         mask = _ModeFoldedConv(
-            self.features, (1, 1), padding=0, dtype=dt, name="Conv_1"
+            self.features, (1, 1), padding=0, dtype=dt, s2d=hs2d, name="Conv_1"
         )(mask)
+        if hs2d:
+            mf = mask.shape
+            mask = s2d_unpack(mask.reshape(mf[0] * mf[1], *mf[2:])).reshape(
+                mf[0], mf[1], 2 * mf[2], 2 * mf[3], mf[4] // 4
+            )
 
         if shift_fn is not None and mode_list:
             # LISTWISE fast mode: shift_fn returns the M mode planes as a

@@ -239,3 +239,45 @@ def test_listwise_fast_attention_full_cost_volume():
     out_s = mod_s.apply(var, ref, tar, train=False)
     out_l = mod_l.apply(var, ref, tar, train=False)
     np.testing.assert_allclose(np.asarray(out_l), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+
+
+def test_head_s2d_attention_matches_exactly():
+    """head_s2d=True (packed mask-head convs) is the SAME exact math as the
+    fine head: identical param tree, outputs and train-mode BN statistics."""
+    rng = jax.random.PRNGKey(0)
+    b, d, m, h, w, c = 2, 4, 3, 8, 8, 16
+    xs = jnp.asarray(
+        np.random.default_rng(9).standard_normal((b, d, m, h, w, c)), jnp.float32
+    )
+
+    mod = asm.MaskingAttention(features=c, act="sigmoid")
+    mod2 = asm.MaskingAttention(features=c, act="sigmoid", head_s2d=True)
+    var = mod.init(rng, xs, train=False)
+    var2 = mod2.init(rng, xs, train=False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var2)
+    for a, bb in zip(jax.tree_util.tree_leaves(var), jax.tree_util.tree_leaves(var2)):
+        assert a.shape == bb.shape
+
+    out = mod.apply(var, xs, train=False)
+    out2 = mod2.apply(var, xs, train=False)  # same params
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=2e-5, atol=2e-6)
+
+    out, mut = mod.apply(var, xs, train=True, mutable=["batch_stats"])
+    out2, mut2 = mod2.apply(var, xs, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out), rtol=2e-5, atol=2e-6)
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(mut), jax.tree_util.tree_leaves(mut2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-6)
+
+
+def test_head_s2d_odd_dims_falls_back():
+    """Odd H/W bypasses the packed head (it requires even dims)."""
+    rng = jax.random.PRNGKey(0)
+    xs = jnp.asarray(
+        np.random.default_rng(10).standard_normal((1, 2, 3, 7, 9, 8)), jnp.float32
+    )
+    mod = asm.MaskingAttention(features=8, act="sigmoid", head_s2d=True)
+    var = mod.init(rng, xs, train=False)
+    out = mod.apply(var, xs, train=False)
+    assert out.shape == (1, 2, 7, 9, 8)
