@@ -11,6 +11,7 @@ pred_normal [B, 1, H, W, 3] (channels-last), ref_feature [B, H/4, W/4].
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -48,9 +49,24 @@ class STEREODPNET(nn.Module):
 
         # remat: the ASM attention otherwise saves its [B*D, 3, H/4, W/4, C]
         # activations per conv for the backward — several GB at the 768x576
-        # train crop; recomputing the cost volume in the backward is cheap
-        # relative to the 3-D aggregation
-        cost = nn.remat(ASMCostVolume, static_argnums=(3,))(
+        # train crop. Policy 'convs' (default) saves ONLY the mask-head conv
+        # inputs/outputs (checkpoint_name tags in ops/asm.py, ~0.5 GB at the
+        # b2 768x576 train crop) so the backward re-runs none of the four
+        # convs per direction and the recompute stays purely elementwise;
+        # 'none' is the full-recompute policy (the round-3 behavior).
+        import os
+
+        remat_save = os.environ.get(
+            "DPFACE_ASM_REMAT_SAVE", opt.get("asm_remat_save", "convs")
+        )
+        policy = (
+            jax.checkpoint_policies.save_only_these_names(
+                "asm_head_in", "asm_conv0_out", "asm_mask_out"
+            )
+            if remat_save == "convs"
+            else None
+        )
+        cost = nn.remat(ASMCostVolume, static_argnums=(3,), policy=policy)(
             self.option, mindisp, maxdisp, name="cost_volume"
         )(ref_fea, tar_fea, train)  # [B, D, H/4, W/4, 2C]
 

@@ -312,6 +312,14 @@ class MaskingAttention(nn.Module):
         # would double the [B*D, M, H, W, C] traffic under the bf16 policy
         dt = self.dtype if self.dtype is not None else x.dtype
 
+        # checkpoint_name tags (no-ops unless the caller's remat policy names
+        # them): under the default full-remat policy the backward re-runs all
+        # four mask-head convs per direction — the dominant cost_volume cost
+        # of the b2 768x576 train step (docs/PERFORMANCE.md round 4 profile).
+        # Saving just (conv inputs, conv outputs) keeps the recompute purely
+        # elementwise at ~3 x 85 MB bf16 per direction.
+        from jax.ad_checkpoint import checkpoint_name
+
         if shift_fn is None and flat:
             # mode-MAJOR flat layout [M, B, D, H, W, C]: the conv-batch fold
             # and every (softmax / gate / mean / InstanceNorm) mode-axis op
@@ -332,6 +340,9 @@ class MaskingAttention(nn.Module):
         # 2-D convs with the mode axis folded into the batch — XLA's TPU 3-D
         # conv path is single-digit-MFU even for kd=1. Params keep the exact
         # nn.Conv kernel shapes ((1,3,3,C,F) / (1,1,1,C,F)) for converters.
+        head_in = checkpoint_name(head_in, "asm_head_in")
+        if shift_fn is None:
+            y = head_in  # exact/flat: the gating path reuses the saved value
         hs2d = self.head_s2d and head_in.shape[2] % 2 == 0 and head_in.shape[3] % 2 == 0
         if hs2d:
             from dualpixelface_tpu.ops.s2d import S2DBatchNorm, s2d_pack, s2d_unpack
@@ -343,6 +354,7 @@ class MaskingAttention(nn.Module):
         mask = _ModeFoldedConv(
             self.features, (3, 3), padding=1, dtype=dt, s2d=hs2d, name="Conv_0"
         )(head_in)
+        mask = checkpoint_name(mask, "asm_conv0_out")
         if hs2d:
             mf = mask.shape
             mask = S2DBatchNorm(
@@ -358,6 +370,7 @@ class MaskingAttention(nn.Module):
         mask = _ModeFoldedConv(
             self.features, (1, 1), padding=0, dtype=dt, s2d=hs2d, name="Conv_1"
         )(mask)
+        mask = checkpoint_name(mask, "asm_mask_out")
         if hs2d:
             mf = mask.shape
             mask = s2d_unpack(mask.reshape(mf[0] * mf[1], *mf[2:])).reshape(
