@@ -137,10 +137,16 @@ class ANM(nn.Module):
             # kernel (docs/PERFORMANCE.md); 'packed8' = unbounded XLA gather
             # matching the reference's sampling semantics exactly
             dimpl = opt.get("deform_impl", "pallas")
+            # deform_offset_clamp: train-time straight-through clamp of the
+            # predicted offsets to the windowed kernel's +-AP aperture
+            # (ops/deform_conv3d.clamp_offsets_to_window). A checkpoint
+            # trained with it evaluates IDENTICALLY under packed8 and the
+            # serving Pallas kernel — the stereodpnet_plus serving contract.
+            oclamp = bool(opt.get("deform_offset_clamp", False))
             deform1 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
-                                       impl=dimpl, name="deform_conv1")
+                                       impl=dimpl, offset_clamp=oclamp, name="deform_conv1")
             deform2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
-                                       impl=dimpl, name="deform_conv2")
+                                       impl=dimpl, offset_clamp=oclamp, name="deform_conv2")
             act1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act1")
             act2 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act2")
         else:

@@ -277,6 +277,47 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
     return out.reshape(b, do, ho, wo, cout)
 
 
+def clamp_offsets_to_window(offset: jnp.ndarray, kernel_size=(3, 3, 3),
+                            padding: int = 1, dilation: int = 1) -> jnp.ndarray:
+    """Straight-through per-tap clamp of predicted offsets so every sampling
+    position lies inside the Pallas kernel's +-AP window along H and W
+    (kernels/deform_fused.clamp_positions: pos in [out-AP, out+AP+1-EPS]).
+
+    With pos = out + (k-1)*dilation - padding + off (3x3x3/p1/d1 geometry),
+    the per-tap admissible offset range along H is
+    [-(AP-1) - kh, AP+2-EPS - kh] (and the same along W with kw); dD is
+    unbounded (the kernel holds the full D extent in VMEM). Offsets clamped
+    here make the windowed kernel EXACTLY equal to the reference's unbounded
+    sampling (deform_im2col_cuda.cuh:27-72) — the aperture clamp becomes a
+    no-op — so a checkpoint TRAINED with this clamp evaluates identically
+    under the exact packed8 path and the serving Pallas path. The clamp is a
+    documented train-time deviation from the reference (same class as the
+    global-batch SyncBN deviation): the reference never bounds its offsets.
+
+    Gradient: straight-through (identity) — a hard clip would zero the
+    offset-head gradient once an offset drifts past the window and could
+    never pull it back; with the identity gradient the raw offset keeps
+    receiving the window-interior signal. Forward values are hard-clamped.
+    """
+    from dualpixelface_tpu.ops.kernels.deform_fused import AP, EPS
+
+    kd, kh, kw = kernel_size if not isinstance(kernel_size, int) else (kernel_size,) * 3
+    k = kd * kh * kw
+    assert offset.shape[-1] == 3 * k, (offset.shape, kernel_size)
+    # tap order k = ((kz*KH)+ky)*KW+kx, channel k*3+{0 (dD), 1 (dH), 2 (dW)}
+    kz, ky, kx = np.meshgrid(np.arange(kd), np.arange(kh), np.arange(kw), indexing="ij")
+    center = (np.array([kd, kh, kw]) - 1) // 2  # (pad=1, dil=1 geometry)
+    base_h = (ky.reshape(-1) - center[1]) * dilation  # [K]
+    base_w = (kx.reshape(-1) - center[2]) * dilation
+    big = np.float32(1e9)  # dD unbounded
+    lo = np.stack([-big * np.ones(k), -AP - base_h, -AP - base_w], -1)  # [K, 3]
+    hi = np.stack([big * np.ones(k), AP + 1 - EPS - base_h, AP + 1 - EPS - base_w], -1)
+    lo = jnp.asarray(lo.reshape(3 * k), offset.dtype)
+    hi = jnp.asarray(hi.reshape(3 * k), offset.dtype)
+    clipped = jnp.clip(offset, lo, hi)
+    return offset + jax.lax.stop_gradient(clipped - offset)
+
+
 def _windowed_xla(x, offset, weight, bias):
     """XLA twin of the Pallas windowed kernel: packed8 gather with the
     identical aperture clamp — used for the kernel's VJP and as its oracle."""
@@ -380,6 +421,12 @@ class DeformConvPack3D(nn.Module):
     maxsize: float | None = None
     use_bias: bool = True
     impl: str = "pallas"
+    # offset_clamp: hard-clamp predicted offsets (straight-through gradient)
+    # to the Pallas kernel's +-AP window — clamp_offsets_to_window. Trained
+    # with this on, the windowed serving kernel is EXACT (not a 0.5%-budget
+    # approximation): the aperture clamp can never bind. Documented
+    # train-time deviation from the reference's unbounded offsets.
+    offset_clamp: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -417,6 +464,8 @@ class DeformConvPack3D(nn.Module):
                 bias_init=nn.initializers.zeros,
                 name="conv_offset",
             )(x)
+        if self.offset_clamp and ks == (3, 3, 3) and self.stride == 1 and self.padding == 1:
+            offset = clamp_offsets_to_window(offset, ks)
 
         weight = self.param("weight", _torch_kaiming_uniform, ks + (cin, self.features))
         if self.use_bias:

@@ -222,3 +222,98 @@ def test_pack_module_zero_init_offsets(small_problem):
     assert offset.shape == (1, 4, 5, 5, 81)
     # zero-initialised offset head -> behaves as a plain conv at init
     np.testing.assert_array_equal(np.asarray(offset), 0.0)
+
+
+# --- offset_clamp: the windowed-serving exactness contract (round 5) ------
+
+
+def test_clamp_offsets_positions_inside_window():
+    """Clamped offsets put every sampling position inside the Pallas window
+    [out-AP, out+AP+1-EPS] along H and W, for every tap."""
+    from dualpixelface_tpu.ops.deform_conv3d import clamp_offsets_to_window
+    from dualpixelface_tpu.ops.kernels.deform_fused import AP, EPS
+
+    rng = np.random.default_rng(7)
+    off = jnp.asarray((rng.standard_normal((2, 4, 6, 5, 81)) * 9.0).astype(np.float32))
+    clamped = np.asarray(clamp_offsets_to_window(off))
+    kz, ky, kx = np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij")
+    base_h = (ky.reshape(-1) - 1).astype(np.float32)
+    base_w = (kx.reshape(-1) - 1).astype(np.float32)
+    c = clamped.reshape(2, 4, 6, 5, 27, 3)
+    pos_h = base_h + c[..., 1]  # relative to the output voxel
+    pos_w = base_w + c[..., 2]
+    assert (pos_h >= -AP - 1e-6).all() and (pos_h <= AP + 1 - EPS + 1e-6).all()
+    assert (pos_w >= -AP - 1e-6).all() and (pos_w <= AP + 1 - EPS + 1e-6).all()
+    # in-window offsets pass through untouched (x0.3 keeps every draw well
+    # inside the tightest per-tap bound of 2.0)
+    small = jnp.asarray((rng.standard_normal((1, 4, 5, 5, 81)) * 0.3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(clamp_offsets_to_window(small)), np.asarray(small)
+    )
+
+
+def test_clamped_offsets_windowed_equals_unbounded():
+    """On clamped offsets the windowed (aperture) path and the exact
+    unbounded packed8 path are IDENTICAL — the serving-parity contract:
+    a checkpoint trained with offset_clamp evaluates the same under
+    `deform_impl=packed8` and `deform_impl=pallas`."""
+    from dualpixelface_tpu.ops.deform_conv3d import (
+        _windowed_xla,
+        clamp_offsets_to_window,
+    )
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 7, 3)).astype(np.float32))
+    # heavy-tailed raw offsets (p99 of trained offsets is 5.9-7.4 voxels)
+    raw = jnp.asarray((rng.standard_normal((2, 4, 8, 7, 81)) * 6.0).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((3, 3, 3, 3, 4)).astype(np.float32))
+    off = clamp_offsets_to_window(raw)
+    exact = deform_conv3d(x, off, weight, None, impl="packed8")
+    windowed = _windowed_xla(x, off, weight, None)
+    np.testing.assert_allclose(
+        np.asarray(exact), np.asarray(windowed), rtol=1e-5, atol=1e-5
+    )
+    # and WITHOUT the clamp the two paths genuinely differ on these offsets
+    # (the test would otherwise prove nothing)
+    exact_raw = deform_conv3d(x, raw, weight, None, impl="packed8")
+    windowed_raw = _windowed_xla(x, raw, weight, None)
+    assert np.abs(np.asarray(exact_raw) - np.asarray(windowed_raw)).max() > 1e-3
+
+
+def test_clamp_straight_through_gradient():
+    """The clamp's backward is the identity: saturated offsets still receive
+    gradient (a hard clip would freeze them outside the window forever)."""
+    from dualpixelface_tpu.ops.deform_conv3d import clamp_offsets_to_window
+
+    rng = np.random.default_rng(3)
+    off = jnp.asarray((rng.standard_normal((1, 2, 3, 3, 81)) * 10.0).astype(np.float32))
+    g = jax.grad(lambda o: jnp.sum(clamp_offsets_to_window(o) * 2.0))(off)
+    np.testing.assert_array_equal(np.asarray(g), 2.0)
+
+
+def test_pack_module_offset_clamp_returns_clamped():
+    """DeformConvPack3D(offset_clamp=True) conv consumes and RETURNS the
+    clamped offsets (the returned tensor is what diagnostics/serving see)."""
+    from dualpixelface_tpu.ops.kernels.deform_fused import AP
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((1, 4, 6, 6, 3)).astype(np.float32))
+    mod = DeformConvPack3D(features=4, impl="packed8", offset_clamp=True)
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    # force a non-trivial offset head so the clamp has something to do
+    big = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 7.0) if a.ndim == 1 and a.shape[0] == 81 else a,
+        variables,
+    )
+    out, offset = mod.apply(big, x)
+    o = np.asarray(offset).reshape(1, 4, 6, 6, 27, 3)
+    # dH/dW channels clamped to the loosest per-tap bound (AP+2-EPS, for the
+    # k=0 edge taps whose base sits one voxel below the output)
+    assert o[..., 1:].max() <= AP + 2
+    assert o[..., 0].max() == 7.0      # dD stays unbounded by design
+    # the unbounded evaluation of the same module matches the windowed one
+    mod_win = DeformConvPack3D(features=4, impl="pallas", offset_clamp=True)
+    out_win, _ = mod_win.apply(big, x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_win), rtol=1e-5, atol=1e-5
+    )
