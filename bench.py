@@ -40,8 +40,12 @@ Driver-budget design (round-3, after the round-2 rc=124 timeout):
     marked `"stale": true` so the record is honest about its provenance.
     (An in-process watchdog thread was tried first: XLA compiles can hold
     the GIL for minutes, so no Python thread/signal is guaranteed to run.)
-    Set BENCH_FAST=1 to skip the extras; `bench.py --extra train|plus` runs
-    one extra alone.
+    Set BENCH_FAST=1 to skip the extras; `bench.py --extra train|exact|plus`
+    runs one extra alone. The exact extra reports the reference-exact
+    semantics (unbounded packed8 deform + exact attention + unfused
+    regression) so the headline JSON carries both the serving fast-path AND
+    the exact-path number (VERDICT r4 item 4). The probe_ms/session_drift
+    fields normalize backend drift across sessions (item 5).
 """
 from __future__ import annotations
 
@@ -66,6 +70,17 @@ ITERS = 10
 TRAIN_BATCH = 2                 # fwd+bwd at full res fits 16 GB at batch 2
 TRAIN_ITERS = 5
 REPS_PER_DISPATCH = 8           # forwards chained (lax.scan) per dispatch
+
+# Session-drift probe (VERDICT r4 item 5): a fixed [4096]^2 bf16 matmul
+# chain whose time depends only on backend/tunnel conditions, never on this
+# repo's code. PROBE_REF_MS is the reference session's measurement
+# (2026-08-19 late-night session, the same session that recorded the round-5
+# A/Bs); session_drift = probe_ms / PROBE_REF_MS, so a reader can tell
+# backend drift from code change when comparing rounds (the observed
+# session-to-session spread is ~6% — larger than round margins).
+PROBE_REF_MS = 13.18
+PROBE_N = 4096
+PROBE_REPS = 16
 
 
 def _dfold_env():
@@ -113,7 +128,36 @@ def make_bench_batch(b, h, w):
     }
 
 
-def _build(config_name="train_synthetic_stereodpnet"):
+def measure_probe():
+    """Backend drift probe: ms per dispatch of PROBE_REPS chained bf16
+    [PROBE_N]^2 matmuls (inputs perturbed per rep so nothing CSEs). Code-
+    independent by construction — any change in this number between sessions
+    is tunnel/backend drift, not repo changes."""
+    import jax
+    import jax.numpy as jnp
+
+    a = jnp.ones((PROBE_N, PROBE_N), jnp.bfloat16) * 0.01
+    b = jnp.eye(PROBE_N, dtype=jnp.bfloat16)
+
+    @jax.jit
+    def run(a, b):
+        def body(x, i):
+            return jnp.dot(x + i.astype(jnp.bfloat16), b), ()
+
+        out, _ = jax.lax.scan(body, a, jnp.arange(PROBE_REPS, dtype=jnp.int32))
+        return jnp.sum(out.astype(jnp.float32))
+
+    float(run(a, b))  # compile + barrier
+    float(run(a, b))
+    t0 = time.perf_counter()
+    n = 4
+    for _ in range(n):
+        out = run(a, b)
+    float(out)
+    return (time.perf_counter() - t0) / n * 1000.0
+
+
+def _build(config_name="train_synthetic_stereodpnet", mode="serving"):
     import jax
     import jax.numpy as jnp
 
@@ -121,13 +165,27 @@ def _build(config_name="train_synthetic_stereodpnet"):
     from dualpixelface_tpu.models import model_selector
 
     cfg = Configuration(config_name, make_workspace=False)
-    # production eval path: bf16 + Pallas fused regression + Pallas deform +
-    # hoisted attention head (fast_attention — promoted to the serving
-    # default in round 4: the stereodpnet_plus receipt test bounds its
-    # deviation inside the parity budget, tests/test_stereodpnet.py)
-    cfg.data["model"]["fused_regression"] = True
-    cfg.data["model"]["deform_impl"] = "pallas"
-    cfg.data["model"]["fast_attention"] = True
+    if mode == "serving":
+        # production eval path: bf16 + Pallas fused regression + Pallas
+        # deform + hoisted attention head (fast_attention — promoted to the
+        # serving default in round 4: the stereodpnet_plus receipt test
+        # bounds its deviation inside the parity budget,
+        # tests/test_stereodpnet.py)
+        cfg.data["model"]["fused_regression"] = True
+        cfg.data["model"]["deform_impl"] = "pallas"
+        cfg.data["model"]["fast_attention"] = True
+        # the serving contract (round 5): offsets clamped in-graph to the
+        # kernel's +-AP aperture, so the windowed kernel is exact by
+        # construction on clamp-trained checkpoints
+        # (tests/test_serving_parity.py pins it on a plateau checkpoint)
+        cfg.data["model"]["deform_offset_clamp"] = True
+    else:  # "exact": the reference-exact semantics (stereodpnet defaults —
+        # unbounded packed8 deform, exact attention, unfused regression;
+        # /root/reference/src/module/dcn3d/src/cuda/deform_im2col_cuda.cuh:27-72).
+        # Chunk the packed8 gather so the [B, 8*Cin, N*K] pre-reduce fits
+        # 16 GB at the b4 768x576 headline shape (the round-4 OOM).
+        assert mode == "exact", mode
+        cfg.data["model"]["deform_gather_chunks"] = 8
     # per-site dslice folds (taps at the co=1 classifier heads, out
     # elsewhere), selected on-chip 2026-08-19 — docs/PERFORMANCE.md round 4
     cfg.data["model"]["agg_dfold"] = "auto"
@@ -269,6 +327,8 @@ def _run_extra(kind):
         value = measure_train_step()
     elif kind == "plus":
         value = measure_forward(*_build("train_synthetic_stereodpnet_plus"))
+    elif kind == "exact":
+        value = measure_forward(*_build(mode="exact"))
     else:  # pragma: no cover - CLI guard
         raise SystemExit(f"unknown extra {kind!r}")
     print(json.dumps({"extra": kind, "value": round(value, 3)}), flush=True)
@@ -277,12 +337,17 @@ def _run_extra(kind):
 def _merged_line(headline, extras):
     merged = dict(headline)
     merged["train_step_pairs_per_sec_b2"] = extras.get("train")
+    merged["stereodpnet_exact_fwd_pairs_per_sec"] = extras.get("exact")
     merged["stereodpnet_plus_fwd_pairs_per_sec"] = extras.get("plus")
     return json.dumps(merged)
 
 
 def _worker():
     _enable_compile_cache()
+    # drift probe FIRST: its number must reflect the same session conditions
+    # as the measurements that follow, and it doubles as a cheap tunnel
+    # liveness check before the expensive model build
+    probe_ms = measure_probe()
     opt, model, variables, device = _build()
     pairs_per_sec = measure_forward(opt, model, variables, device)
     del variables  # free HBM before the extras re-build
@@ -298,11 +363,15 @@ def _worker():
         # (windowed Pallas deform + fused regression — stereodpnet_plus's
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
-        "config": "serving fast paths (deform_impl=pallas, fused_regression, fast_attention, agg_dfold=auto, tower_s2d=half)"
+        "config": "serving fast paths (deform_impl=pallas, deform_offset_clamp, fused_regression, fast_attention, agg_dfold=auto, tower_s2d=half)"
         + (f" +DPFACE_DSLICE_FOLD={_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,
         "anchor_gpu_util": GPU_UTIL,
+        # backend drift vs the reference session (1.0 = same speed; >1.0 =
+        # this session is SLOWER — divide pairs/s by it to normalize)
+        "probe_ms": round(probe_ms, 2),
+        "session_drift": round(probe_ms / PROBE_REF_MS, 3),
     }
     # land the headline NOW — extras below must not be able to lose it
     print(json.dumps(headline), flush=True)
@@ -319,6 +388,11 @@ def _worker():
             except Exception as e:  # noqa: BLE001 — never kill the headline
                 print(f"# train-step extra failed: {e!r}", file=sys.stderr)
         if _remaining() > 150:
+            try:
+                extras["exact"] = round(measure_forward(*_build(mode="exact")), 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"# exact-path extra failed: {e!r}", file=sys.stderr)
+        if _remaining() > 100:
             try:
                 extras["plus"] = round(
                     measure_forward(*_build("train_synthetic_stereodpnet_plus")), 3

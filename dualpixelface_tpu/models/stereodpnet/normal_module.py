@@ -143,10 +143,13 @@ class ANM(nn.Module):
             # trained with it evaluates IDENTICALLY under packed8 and the
             # serving Pallas kernel — the stereodpnet_plus serving contract.
             oclamp = bool(opt.get("deform_offset_clamp", False))
+            gchunks = int(opt.get("deform_gather_chunks", 1))
             deform1 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
-                                       impl=dimpl, offset_clamp=oclamp, name="deform_conv1")
+                                       impl=dimpl, offset_clamp=oclamp,
+                                       gather_chunks=gchunks, name="deform_conv1")
             deform2 = DeformConvPack3D(2 * c, (3, 3, 3), 1, 1, maxsize=self.maxdisp * 2,
-                                       impl=dimpl, offset_clamp=oclamp, name="deform_conv2")
+                                       impl=dimpl, offset_clamp=oclamp,
+                                       gather_chunks=gchunks, name="deform_conv2")
             act1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act1")
             act2 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="act2")
         else:

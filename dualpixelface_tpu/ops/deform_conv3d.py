@@ -43,6 +43,7 @@ def deform_conv3d(
     dilation: int | Sequence[int] = 1,
     impl: str = "packed8",
     aperture: bool = False,
+    gather_chunks: int = 1,
 ) -> jnp.ndarray:
     """Deformable 3-D convolution, channels-last.
 
@@ -71,6 +72,7 @@ def deform_conv3d(
         return _deform_conv3d_packed(
             x, offset, weight, bias, stride, padding, dilation,
             pack_depth=(impl == "packed8"), aperture=aperture,
+            gather_chunks=gather_chunks,
         )
     assert impl == "simple", impl
     st = _triple(stride)
@@ -151,7 +153,7 @@ def deform_conv3d(
 
 
 def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
-                          pack_depth=False, aperture=False):
+                          pack_depth=False, aperture=False, gather_chunks=1):
     """Corner-packed gather formulation (same math as 'simple').
 
     TPU gathers are index-bound, not byte-bound (docs/PERFORMANCE.md): the
@@ -233,9 +235,8 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
         m8 = (d + 1) * (h + 1) * (w + 1)
         x8_t = jnp.swapaxes(x8.reshape(b, m8, 8 * cin), 1, 2)
         pz = jnp.clip(d0 + 1.0, 0, d).astype(jnp.int32)
-        lin = ((pz * (h + 1) + ph) * (w + 1) + pw).reshape(b, 1, n * k)
-        gathered = jnp.take_along_axis(x8_t, lin, axis=2).reshape(b, 8, cin, n * k)
-        w8 = jnp.stack(
+        lin_all = ((pz * (h + 1) + ph) * (w + 1) + pw).reshape(b, 1, n * k)
+        w8_all = jnp.stack(
             [
                 (wz_[cz] * wy[cy] * wx[cx]
                  * (okz_[cz] & oky[cy] & okx[cx]).astype(f32)).reshape(b, n * k)
@@ -245,7 +246,52 @@ def _deform_conv3d_packed(x, offset, weight, bias, stride, padding, dilation,
             ],
             axis=1,
         )
-        cols = jnp.sum(gathered * w8[:, :, None, :].astype(x.dtype), axis=1)
+        # gather_chunks > 1 bounds peak memory: the pre-reduce gathered
+        # tensor is [B, 8*Cin, N*K] (11.9 GiB bf16 at the b4 768x576 ANM
+        # shape — a 24 GiB program with its consumer, the round-4 OOM that
+        # kept the exact path unbenchable at the headline shape). The
+        # output-voxel axis is padded to equal chunks and gather+reduce+GEMM
+        # runs per chunk under lax.scan — ONE traced body (an unrolled
+        # python loop compiled minutes at the headline shape), identical
+        # math, peak residency divided by the chunk count.
+        if gather_chunks > 1:
+            w_mat_c = (
+                weight.reshape(k, cin, cout).swapaxes(0, 1).astype(x.dtype)
+            )  # [Cin, K, Cout]
+            npc = -(-n // gather_chunks)  # output voxels per chunk
+            padn = npc * gather_chunks - n
+            # pad with index 0 / weight 0: the padded voxels contribute
+            # nothing and are sliced off the output
+            lin_s = jnp.pad(
+                lin_all.reshape(b, n, k), ((0, 0), (0, padn), (0, 0))
+            ).reshape(b, gather_chunks, npc * k).swapaxes(0, 1)
+            w8_s = jnp.pad(
+                w8_all.reshape(b, 8, n, k), ((0, 0), (0, 0), (0, padn), (0, 0))
+            ).reshape(b, 8, gather_chunks, npc * k).transpose(2, 0, 1, 3)
+
+            def chunk_body(_, xs):
+                lin_i, w8_i = xs  # [B, npc*K], [B, 8, npc*K]
+                gath = jnp.take_along_axis(
+                    x8_t, lin_i[:, None, :], axis=2
+                ).reshape(b, 8, cin, npc * k)
+                cols_c = jnp.sum(
+                    gath * w8_i[:, :, None, :].astype(x.dtype), axis=1
+                ).reshape(b, cin, npc, k)
+                out_c = jax.lax.dot_general(
+                    cols_c, w_mat_c,
+                    dimension_numbers=(((1, 3), (0, 1)), ((), ())),
+                    preferred_element_type=f32,
+                ).astype(x.dtype)  # [B, npc, Cout]
+                return _, out_c
+
+            _, outs = jax.lax.scan(chunk_body, 0, (lin_s, w8_s))
+            out = outs.transpose(1, 0, 2, 3).reshape(b, npc * gather_chunks, cout)
+            out = out[:, :n]
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            return out.reshape(b, do, ho, wo, cout)
+        gathered = jnp.take_along_axis(x8_t, lin_all, axis=2).reshape(b, 8, cin, n * k)
+        cols = jnp.sum(gathered * w8_all[:, :, None, :].astype(x.dtype), axis=1)
     else:
         cols = jnp.zeros((b, cin, n * k), x.dtype)
         for cz in (0, 1):
@@ -427,6 +473,10 @@ class DeformConvPack3D(nn.Module):
     # approximation): the aperture clamp can never bind. Documented
     # train-time deviation from the reference's unbounded offsets.
     offset_clamp: bool = False
+    # gather_chunks: chunk the packed8 gather over output voxels — bounds
+    # the [B, 8*Cin, N*K] pre-reduce residency (config deform_gather_chunks;
+    # needed to run the exact path at the 768x576 headline shape on 16 GB)
+    gather_chunks: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -500,7 +550,8 @@ class DeformConvPack3D(nn.Module):
         # to linearize in jax 0.9).
         def call(x_, o_, w_, b_):
             return deform_conv3d(
-                x_, o_, w_, b_, stride=self.stride, padding=self.padding, impl=impl
+                x_, o_, w_, b_, stride=self.stride, padding=self.padding, impl=impl,
+                gather_chunks=self.gather_chunks,
             )
 
         deform = call if impl == "pallas" else jax.checkpoint(call)

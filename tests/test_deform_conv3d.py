@@ -317,3 +317,23 @@ def test_pack_module_offset_clamp_returns_clamped():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_win), rtol=1e-5, atol=1e-5
     )
+
+
+def test_gather_chunks_equivalent(small_problem):
+    """Chunked packed8 gather (memory-bounded exact path for the headline
+    shape) is the identical computation, split over output voxels —
+    including an uneven chunk split."""
+    x, offset, weight, bias = small_problem
+    ref = deform_conv3d(
+        jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+        jnp.asarray(bias), impl="packed8",
+    )
+    for chunks in (2, 7):  # 7 does not divide N = 4*5*5 = 100
+        out = deform_conv3d(
+            jnp.asarray(x), jnp.asarray(offset), jnp.asarray(weight),
+            jnp.asarray(bias), impl="packed8", gather_chunks=chunks,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5,
+            err_msg=f"chunks={chunks}",
+        )
