@@ -3,4 +3,5 @@ from dualpixelface_tpu.parallel.mesh import (
     get_mesh,
     replicated_sharding,
     shard_batch,
+    shard_batch_from_local,
 )

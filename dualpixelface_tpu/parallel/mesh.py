@@ -59,3 +59,24 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """One fused host->device transfer placing every array batch-sharded."""
     sharding = batch_sharding(mesh)
     return jax.device_put(batch, jax.tree_util.tree_map(lambda _: sharding, batch))
+
+
+def shard_batch_from_local(local_batch: dict, mesh: Mesh) -> dict:
+    """Multi-PROCESS twin of shard_batch: each process contributes only its
+    local leading-axis shard (what its Grain `ShardByJaxProcess` pipeline
+    produced), and the result is one global batch-sharded jax.Array per leaf.
+    The global batch size is local * process_count; the data-axis layout must
+    place each process's devices contiguously (get_mesh does).
+
+    TPU-native equivalent of the reference's DDP per-rank DistributedSampler
+    batches (ref main.py:49-55, SURVEY.md §2.9)."""
+    sharding = batch_sharding(mesh)
+    nproc = jax.process_count()
+
+    def to_global(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(
+            sharding, x, global_shape=(x.shape[0] * nproc,) + x.shape[1:]
+        )
+
+    return jax.tree_util.tree_map(to_global, local_batch)
