@@ -52,13 +52,24 @@ class STEREODPNET(nn.Module):
         # train crop. Policy 'convs' (default) saves ONLY the mask-head conv
         # inputs/outputs (checkpoint_name tags in ops/asm.py, ~0.5 GB at the
         # b2 768x576 train crop) so the backward re-runs none of the four
-        # convs per direction and the recompute stays purely elementwise;
+        # convs per direction; in the exact/flat attention paths the
+        # remaining recompute is purely elementwise (in fast_attention mode
+        # the backward additionally re-runs the subpixel phase-shift matmuls
+        # applied to x and mask[:, 0] downstream of the tagged values).
         # 'none' is the full-recompute policy (the round-3 behavior).
+        # NOTE: read at TRACE time — changing the env var after the first
+        # jit compile has no effect (consistent with the other DPFACE_*
+        # kernel knobs).
         import os
 
         remat_save = os.environ.get(
             "DPFACE_ASM_REMAT_SAVE", opt.get("asm_remat_save", "convs")
         )
+        if remat_save not in ("convs", "none"):
+            raise ValueError(
+                f"asm_remat_save/DPFACE_ASM_REMAT_SAVE must be 'convs' or "
+                f"'none', got {remat_save!r}"
+            )
         policy = (
             jax.checkpoint_policies.save_only_these_names(
                 "asm_head_in", "asm_conv0_out", "asm_mask_out"
@@ -76,7 +87,9 @@ class STEREODPNET(nn.Module):
         fused = bool(opt.get("fused_regression", False))
         cost_logits, cost_feats = PSMNetHGAggregation(
             opt.inplanes, upsample=not fused,
-            dfold=opt.get("agg_dfold", "out"), name="aggregation"
+            dfold=opt.get("agg_dfold", "out"),
+            dres_dpack=bool(opt.get("agg_dres_dpack", False)),
+            name="aggregation"
         )(cost, train)  # n x [B, 4D, H, W] (or coarse), n x [B, D, H/4, W/4, C]
 
         disp_out, prob_out = [], []

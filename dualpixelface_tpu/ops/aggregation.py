@@ -57,16 +57,38 @@ class PSMNetHGAggregation(nn.Module):
     features: int
     upsample: bool = True
     dfold: str = "out"  # _DSliceConv3D fold for every stride-1 site
+    # dres_dpack=True: run the dres0/dres1 pre-filter chain (4 stride-1
+    # convs + residual) in the RESIDENT D-packed layout (ops/s2d.dpack —
+    # ONE pack + ONE unpack around the whole chain; per-conv cpack won its
+    # microbench but lost full-model to pack/unpack churn,
+    # docs/PERFORMANCE.md round 4). Exact: same params, outputs, BN stats.
+    dres_dpack: bool = False
 
     @nn.compact
     def __call__(self, cost, train: bool = False):
+        import os
+
         c = self.features
         df = self.dfold
-        cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_0")(cost, train)
-        cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_1")(cost0, train)
-        dres1 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres1_0")(cost0, train)
-        dres1 = ConvBN3D(c, 3, 1, 1, dfold=df, name="dres1_1")(dres1, train)
-        cost0 = dres1 + cost0
+        dpk = os.environ.get(
+            "DPFACE_AGG_DPACK", str(self.dres_dpack)
+        ).lower() in ("1", "true")
+        dpk = dpk and cost.shape[1] % 4 == 0 and cost.shape[1] >= 4
+        if dpk:
+            from dualpixelface_tpu.ops.s2d import dpack, dunpack
+
+            q = dpack(cost)
+            q0 = ConvBN3D(c, 3, 1, 1, relu=True, dpack=True, name="dres0_0")(q, train)
+            q0 = ConvBN3D(c, 3, 1, 1, relu=True, dpack=True, name="dres0_1")(q0, train)
+            q1 = ConvBN3D(c, 3, 1, 1, relu=True, dpack=True, name="dres1_0")(q0, train)
+            q1 = ConvBN3D(c, 3, 1, 1, dpack=True, name="dres1_1")(q1, train)
+            cost0 = dunpack(q1 + q0)
+        else:
+            cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_0")(cost, train)
+            cost0 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres0_1")(cost0, train)
+            dres1 = ConvBN3D(c, 3, 1, 1, relu=True, dfold=df, name="dres1_0")(cost0, train)
+            dres1 = ConvBN3D(c, 3, 1, 1, dfold=df, name="dres1_1")(dres1, train)
+            cost0 = dres1 + cost0
 
         out1, pre1, post1 = PSMNetHourglass(c, dfold=df, name="dres2")(cost0, None, None, train)
         out1 = out1 + cost0

@@ -315,6 +315,56 @@ class _DSliceConv3D(nn.Module):
         return xla_epilogue(out)
 
 
+class _DPackConv3D(nn.Module):
+    """Stride-1 3x3x3 pad-1 conv on a RESIDENT D-packed tensor
+    [B, G, H, W, 4C] (ops/s2d.dpack layout: 4 D-planes on the lane dim).
+
+    Same contraction as the 'cpack' fold in _DSliceConv3D (a dense
+    [3, 3, 6C, 4Co] 2-D conv whose output block j sums kd taps from halo
+    blocks j+kd — ~50% MFU at the dres shapes vs 11% for the 'out' fold),
+    but input AND output stay packed: the 6-plane halo is rebuilt from the
+    packed neighbors with two 1-plane lane slices instead of a full
+    pack/unpack pair around every conv (the measured reason per-conv cpack
+    lost full-model, docs/PERFORMANCE.md round 4). Halo edges (G-axis pad)
+    are the conv's D zero-padding. Declares the identical 'kernel'
+    [3, 3, 3, C, Co] parameter as _DSliceConv3D/nn.Conv."""
+
+    features: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, q):
+        b, g, h, w, c4 = q.shape
+        c = c4 // 4
+        co = self.features
+        kernel = self.param("kernel", he_normal_out, (3, 3, 3, c, co))
+        dt = q.dtype if self.dtype is None else self.dtype
+        # halo planes: fine plane 4g-1 = last C-block of group g-1,
+        # fine plane 4g+4 = first C-block of group g+1 (zeros at the edges)
+        prev = jnp.pad(
+            q[..., 3 * c :], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+        )[:, :g]
+        nxt = jnp.pad(
+            q[..., :c], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+        )[:, 1:]
+        xs = jnp.concatenate([prev, q, nxt], axis=-1)
+        xs = xs.reshape(b * g, h, w, 6 * c).astype(dt)
+        wk = jnp.zeros((3, 3, 6 * c, 4 * co), kernel.dtype)
+        for j in range(4):
+            for kd in range(3):
+                wk = wk.at[
+                    :, :,
+                    (j + kd) * c : (j + kd + 1) * c,
+                    j * co : (j + 1) * co,
+                ].set(kernel[kd])
+        y = jax.lax.conv_general_dilated(
+            xs, wk.astype(dt), (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )
+        return y.reshape(b, g, h, w, 4 * co)
+
+
 class _PackedTConv3D(nn.Module):
     """Param-compatible stand-in for nn.ConvTranspose(3x3x3, stride 2,
     pad (1,2), transpose_kernel=True) — torch ConvTranspose3d(k=3, s=2, p=1,
@@ -409,10 +459,30 @@ class ConvBN3D(nn.Module):
     dtype: Dtype = None
     relu: bool = False
     dfold: str = "out"
+    # dpack=True: input/output are RESIDENT D-packed [B, G, H, W, 4C]
+    # tensors (ops/s2d.dpack; stride-1 3x3x3 only). Same params
+    # ('Conv_0' kernel, 'BatchNorm_0'), same outputs and BN statistics —
+    # S2DBatchNorm pools the 4 packed D-planes exactly like fine BN.
+    dpack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         import os
+
+        if self.dpack:
+            from dualpixelface_tpu.ops.s2d import S2DBatchNorm
+
+            assert self.kernel_size == 3 and self.strides == 1, (
+                "dpack supports stride-1 3x3x3 sites only"
+            )
+            y = _DPackConv3D(
+                self.features, dtype=self.dtype, name="Conv_0"
+            )(x)
+            y = S2DBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="BatchNorm_0",
+            )(y)
+            return nn.relu(y) if self.relu else y
 
         ks = (
             (self.kernel_size,) * 3
@@ -579,8 +649,17 @@ class PReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
+
         alpha = self.param("alpha", lambda key: jnp.asarray(self.init, jnp.float32))
-        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
+        a = alpha.astype(x.dtype)
+        # 'maxmin' computes max(x,0) + a*min(x,0) — identical values (and
+        # a.e. identical gradients) without the predicate tensor the
+        # select_n formulation materializes; trace-time A/B knob for the
+        # train-profile select_n copy bucket (docs/PERFORMANCE.md round 4)
+        if os.environ.get("DPFACE_PRELU", "where") == "maxmin":
+            return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
+        return jnp.where(x >= 0, x, a * x)
 
 
 class _PerChannelNorm(nn.Module):

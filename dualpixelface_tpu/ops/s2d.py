@@ -69,6 +69,35 @@ def s2d_concat(tensors):
     return cat.reshape(n, hc, wc, 4 * cs)
 
 
+def dpack(x):
+    """Depth-to-channels pack for 3-D volumes: [B, D, H, W, C] ->
+    [B, D/4, H, W, 4C], D-plane major / fine channel minor. The RESIDENT
+    layout for the aggregation dres chain (ops/aggregation.py): groups of 4
+    D-planes ride the lane dim so the 32-channel stride-1 convs contract
+    over 128+ lanes (the per-conv pack/unpack variant of this layout won its
+    microbench but lost full-model to relayout churn — resident packing
+    amortizes ONE pack/unpack over the whole chain,
+    docs/PERFORMANCE.md round 4)."""
+    b, d, h, w, c = x.shape
+    assert d % 4 == 0 and d >= 4, d
+    return (
+        x.reshape(b, d // 4, 4, h, w, c)
+        .transpose(0, 1, 3, 4, 2, 5)
+        .reshape(b, d // 4, h, w, 4 * c)
+    )
+
+
+def dunpack(q):
+    """Inverse of :func:`dpack`."""
+    b, g, h, w, c4 = q.shape
+    c = c4 // 4
+    return (
+        q.reshape(b, g, h, w, 4, c)
+        .transpose(0, 1, 4, 2, 3, 5)
+        .reshape(b, 4 * g, h, w, c)
+    )
+
+
 def _tap_positions(k: int, dilation: int, stride: int):
     """Static tap map: yields (dy, a_o, s, a_i) per 1-D tap/output-parity.
     stride 2 emits only a_o = 0 (the dense coarse grid)."""
@@ -240,8 +269,11 @@ class S2DBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
-            m4 = jnp.mean(xf, axis=(0, 1, 2))            # [4C]
-            e4 = jnp.mean(jnp.square(xf), axis=(0, 1, 2))
+            # all-but-last axes: the packed tensor may be 4-D (spatial s2d)
+            # or 5-D (depth-packed aggregation volumes, [B, G, H, W, 4C])
+            red = tuple(range(x.ndim - 1))
+            m4 = jnp.mean(xf, axis=red)                  # [4C]
+            e4 = jnp.mean(jnp.square(xf), axis=red)
             mean = jnp.mean(m4.reshape(4, c), axis=0)    # fine-channel stats
             var = jnp.mean(e4.reshape(4, c), axis=0) - jnp.square(mean)
             if not self.is_initializing():

@@ -152,3 +152,50 @@ def test_feature_extraction_s2d_train_stats_match(mode):
 # NOTE: no odd-input fallback test — the architecture requires factor-96
 # inputs (preprocess rounds crops to 96), so H/2 is always even; the guard
 # in FeatureExtraction is a safety net only.
+
+
+def test_dpack_roundtrip():
+    from dualpixelface_tpu.ops.s2d import dpack, dunpack
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((2, 8, 6, 5, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(dunpack(dpack(x))), np.asarray(x))
+
+
+def _agg_pair():
+    from dualpixelface_tpu.ops.aggregation import PSMNetHGAggregation
+
+    plain = PSMNetHGAggregation(8, upsample=False, dres_dpack=False)
+    packed = PSMNetHGAggregation(8, upsample=False, dres_dpack=True)
+    return plain, packed
+
+
+def test_aggregation_dres_dpack_exact_eval():
+    """Resident D-packed dres chain: identical param tree and outputs."""
+    plain, packed = _agg_pair()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)), jnp.float32)
+    var = plain.init(jax.random.PRNGKey(3), x)
+    var2 = packed.init(jax.random.PRNGKey(3), x)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var2)
+    for a, b in zip(jax.tree_util.tree_leaves(var), jax.tree_util.tree_leaves(var2)):
+        assert a.shape == b.shape
+    (y1,), _ = plain.apply(var, x, False)
+    (y2,), _ = packed.apply(var, x, False)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=5e-5, atol=5e-5)
+
+
+def test_aggregation_dres_dpack_train_stats_match():
+    plain, packed = _agg_pair()
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)), jnp.float32)
+    var = plain.init(jax.random.PRNGKey(4), x)
+    (l1, f1), m1 = plain.apply(var, x, True, mutable=["batch_stats"])
+    (l2, f2), m2 = packed.apply(var, x, True, mutable=["batch_stats"])
+    for a, b in zip(l1 + f1, l2 + f2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m1["batch_stats"]),
+        jax.tree_util.tree_leaves(m2["batch_stats"]),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=5e-5, atol=5e-5)
