@@ -342,7 +342,11 @@ class MaskingAttention(nn.Module):
         # nn.Conv kernel shapes ((1,3,3,C,F) / (1,1,1,C,F)) for converters.
         head_in = checkpoint_name(head_in, "asm_head_in")
         if shift_fn is None:
-            y = head_in  # exact/flat: the gating path reuses the saved value
+            # NOT redundant: rebinding y to the TAGGED value routes the
+            # gating path below through the remat-saved residual, so the
+            # 'convs' policy's saved tensor is actually reused instead of
+            # the backward recomputing the reshape chain that produced y.
+            y = head_in
         hs2d = self.head_s2d and head_in.shape[2] % 2 == 0 and head_in.shape[3] % 2 == 0
         if hs2d:
             from dualpixelface_tpu.ops.s2d import S2DBatchNorm, s2d_pack, s2d_unpack

@@ -1,0 +1,136 @@
+"""Pinned serving-config parity on a PLATEAU-TRAINED checkpoint.
+
+VERDICT r4 item 6: the only test-pinned windowed-vs-unbounded receipt ran at
+64x64 with a 10-step checkpoint; the plateau-scale measurement lived in a
+tool run. This test pins it: on a 192x192, 1000-step checkpoint trained with
+the SERVING config (deform_offset_clamp — the straight-through +-AP offset
+clamp, stereodpnet_plus/config.json), the windowed Pallas deform kernel and
+the reference-exact unbounded `packed8` sampling must agree inside the 0.5%
+parity budget (BASELINE.md) — and in fact to float noise, because the
+in-graph clamp makes the aperture unable to bind (ops/deform_conv3d.py
+clamp_offsets_to_window; ref unbounded semantics:
+/root/reference/src/module/dcn3d/src/cuda/deform_im2col_cuda.cuh:27-72).
+
+The cached checkpoint is produced on the TPU host by:
+
+    python tools/deform_window_ab.py --clamp --train_impl pallas \
+        --steps 1000 --hw 192 --batch 4 \
+        --save_ckpt tests/data/serving_plateau_192.msgpack
+
+and committed, so this test verifies the contract without re-training.
+The eval here runs the XLA impl pair (packed8 windowed-by-clamp vs
+unbounded) so it works on any backend; the Pallas kernel itself is pinned
+exact-on-clamped-offsets by tests/test_deform_conv3d.py (TPU) and the
+interpret-mode suites.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CKPT = os.path.join(os.path.dirname(__file__), "data", "serving_plateau_192.msgpack")
+HW = 192
+BATCH = 2
+EVAL_BATCHES = 2
+BUDGET = 0.005  # BASELINE.md parity budget (relative)
+
+
+def _build_opt(clamp_window: bool):
+    from dualpixelface_tpu.config import Configuration
+
+    cfg = Configuration(
+        "train_synthetic_stereodpnet", make_workspace=False,
+        overrides=dict(batch_size=BATCH),
+    )
+    cfg.data["dataset"]["height"] = HW
+    cfg.data["dataset"]["width"] = HW
+    cfg.data["dataset"]["test_samples"] = BATCH * EVAL_BATCHES
+    cfg.data["model"]["deform_impl"] = "packed8"
+    cfg.data["model"]["fused_regression"] = False
+    # serving config clamps offsets in-graph; the OFF arm is the reference's
+    # unbounded sampling of the same checkpoint
+    cfg.data["model"]["deform_offset_clamp"] = clamp_window
+    return cfg.get_config()
+
+
+@pytest.mark.slow
+def test_plateau_checkpoint_serving_parity():
+    if not os.path.exists(CKPT):
+        pytest.skip(f"cached plateau checkpoint missing: {CKPT} "
+                    "(regenerate with tools/deform_window_ab.py --clamp "
+                    "--save_ckpt, see module docstring)")
+
+    import flax.serialization
+    import jax
+    import jax.numpy as jnp
+
+    from dualpixelface_tpu.data.loader_selector import loader_selector
+    from dualpixelface_tpu.data.pipeline import DataPipeline, numeric_batch
+    from dualpixelface_tpu.models import model_selector
+    from dualpixelface_tpu.ops.geometry import disp2depth
+
+    opt = _build_opt(clamp_window=True)
+    model = model_selector(opt)
+
+    # template tree for msgpack restore (params are shape-agnostic, so a
+    # small init gives the full structure)
+    ds_small = None
+    from __graft_entry__ import _tiny_batch
+
+    small = jax.tree_util.tree_map(jnp.asarray, _tiny_batch(1, 96, 96))
+    template = model.init(jax.random.PRNGKey(0), small, train=False)
+    template = jax.tree_util.tree_map(np.asarray, template)
+    with open(CKPT, "rb") as f:
+        variables = flax.serialization.from_bytes(template, f.read())
+
+    eval_ds = loader_selector(opt, training=False)
+    pipe = DataPipeline(eval_ds, batch_size=BATCH, shuffle=False, seed=2,
+                        num_workers=2, drop_last=True)
+    batches = []
+    for b in pipe:
+        batches.append(jax.tree_util.tree_map(jnp.asarray, numeric_batch(b)))
+        if len(batches) == EVAL_BATCHES:
+            break
+
+    def run(clamp_window: bool):
+        m = model_selector(_build_opt(clamp_window))
+        fn = jax.jit(lambda v, b: m.apply(v, b, train=False))
+        return [fn(variables, b) for b in batches]
+
+    res_serving = run(clamp_window=True)    # == windowed kernel by construction
+    res_unbounded = run(clamp_window=False)  # reference-exact sampling
+
+    def metrics(results):
+        rmses, angs = [], []
+        for r, b in zip(results, batches):
+            mask = np.asarray(b["mask"]) > 0.5
+            pred = np.asarray(disp2depth(r["pred_depth"][:, -1:], b["abvalue"]))[:, 0]
+            gt = np.asarray(b["depth"])
+            rmses.append(float(np.sqrt((((pred - gt) ** 2)[mask]).mean())))
+            n_p = np.asarray(r["pred_normal"][:, 0], np.float32)
+            n_g = np.asarray(b["normal"], np.float32)
+            n_p = n_p / (np.linalg.norm(n_p, axis=-1, keepdims=True) + 1e-8)
+            n_g = n_g / (np.linalg.norm(n_g, axis=-1, keepdims=True) + 1e-8)
+            cos = np.clip((n_p * n_g).sum(-1), -1, 1)
+            angs.append(float(np.degrees(np.arccos(cos))[mask].mean()))
+        return float(np.mean(rmses)), float(np.mean(angs))
+
+    rmse_s, ang_s = metrics(res_serving)
+    rmse_u, ang_u = metrics(res_unbounded)
+
+    # the 0.5% parity budget, measured exactly like the round-4 tool A/B
+    assert abs(rmse_s - rmse_u) / max(rmse_u, 1e-9) <= BUDGET, (rmse_s, rmse_u)
+    assert abs(ang_s - ang_u) / max(ang_u, 1e-9) <= BUDGET, (ang_s, ang_u)
+
+    # ...and the stronger by-construction contract: on a clamp-trained
+    # checkpoint the trained offsets live inside the aperture, so the two
+    # sampling semantics agree to float noise, not merely inside the budget
+    d_norm = max(
+        float(np.abs(np.asarray(a["pred_normal"], np.float32)
+                     - np.asarray(b_["pred_normal"], np.float32)).max())
+        for a, b_ in zip(res_serving, res_unbounded)
+    )
+    assert d_norm <= 2e-2, d_norm

@@ -15,7 +15,17 @@ If the deltas are inside the 0.5% parity budget (BASELINE.md), the windowed
 default for `stereodpnet` is justified and documented; otherwise the default
 must flip to 'packed8' (VERDICT round 2, item 3).
 
+Round-5 serving contract mode (`--clamp`): train with the straight-through
+offset clamp (`deform_offset_clamp`, the stereodpnet_plus serving config) —
+the predicted offsets are clamped to the Pallas kernel's +-AP aperture
+IN-GRAPH, so windowed and unbounded sampling see identical offsets and the
+A/B deltas must be float-noise, for ANY checkpoint trained this way. Add
+`--save_ckpt PATH` to persist the trained {params, batch_stats} (flax
+msgpack) so a pinned slow test can re-verify the contract on a cached
+plateau checkpoint without re-training (tests/test_serving_parity.py).
+
 Usage: python tools/deform_window_ab.py [--steps 300] [--hw 192] [--batch 4]
+                                        [--clamp] [--save_ckpt PATH]
 Prints one JSON line with everything.
 """
 from __future__ import annotations
@@ -35,6 +45,15 @@ def main():
     ap.add_argument("--hw", type=int, default=192)
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--eval_batches", type=int, default=4)
+    ap.add_argument("--clamp", action="store_true",
+                    help="train+eval with deform_offset_clamp (serving config)")
+    ap.add_argument("--save_ckpt", default="",
+                    help="write the trained {params,batch_stats} msgpack here")
+    ap.add_argument("--train_impl", default="packed8",
+                    choices=["packed8", "pallas"],
+                    help="deform impl used for TRAINING (with --clamp the two "
+                         "are identical by construction; pallas is faster on "
+                         "the TPU)")
     args = ap.parse_args()
 
     import jax
@@ -66,12 +85,15 @@ def main():
         cfg.data["crop_aug"]["soft_crop"]["crop_factor"] = 32
         cfg.data["model"]["deform_impl"] = impl
         cfg.data["model"]["fused_regression"] = False
+        if args.clamp:
+            cfg.data["model"]["deform_offset_clamp"] = True
         if return_offsets:
             cfg.data["model"]["return_offsets"] = True
         return cfg.get_config()
 
-    # ---- train with the UNBOUNDED reference semantics ----
-    opt = build_opt("packed8")
+    # ---- train (default: the UNBOUNDED reference semantics; --clamp: the
+    # serving contract, where the impl choice is provably irrelevant) ----
+    opt = build_opt(args.train_impl if args.clamp else "packed8")
     model = model_selector(opt)
     ds = loader_selector(opt, training=True)
     pipe = DataPipeline(ds, batch_size=args.batch, shuffle=True, seed=1,
@@ -99,6 +121,18 @@ def main():
                       file=sys.stderr, flush=True)
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.save_ckpt:
+        import flax.serialization
+
+        host_vars = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, np.float32), variables
+        )
+        Path(args.save_ckpt).parent.mkdir(parents=True, exist_ok=True)
+        with open(args.save_ckpt, "wb") as f:
+            f.write(flax.serialization.to_bytes(host_vars))
+        print(f"# checkpoint -> {args.save_ckpt} "
+              f"({Path(args.save_ckpt).stat().st_size / 1e6:.1f} MB)",
+              file=sys.stderr, flush=True)
 
     # ---- held-out eval batches ----
     eval_opt = build_opt("packed8")
@@ -176,6 +210,8 @@ def main():
     out = {
         "steps": args.steps,
         "hw": args.hw,
+        "clamp": args.clamp,
+        "train_impl": args.train_impl if args.clamp else "packed8",
         "train_loss_curve": losses,
         "offset_abs_stats": stats,
         "eval_depth_rmse_unbounded": round(rmse_un, 3),

@@ -7,11 +7,11 @@ Usage: python tools/trace_buckets.py /tmp/prof_train_r4b [--top 30]
 """
 from __future__ import annotations
 
+import argparse
 import glob
 import gzip
 import json
 import re
-import sys
 from collections import defaultdict
 from pathlib import Path
 
@@ -62,8 +62,11 @@ def kind_of(name):
 
 
 def main():
-    logdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/prof_train_r4b"
-    top = int(sys.argv[sys.argv.index("--top") + 1]) if "--top" in sys.argv else 25
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("logdir", nargs="?", default="/tmp/prof_train_r4b")
+    ap.add_argument("--top", type=int, default=25, help="copy rows to print")
+    ns = ap.parse_args()
+    logdir, top = ns.logdir, ns.top
     path, events = load_events(logdir)
     total = 0.0
     by_kind = defaultdict(float)
@@ -92,6 +95,7 @@ def main():
                 ent[1] = meta[:200]
     print(f"# {path}")
     print(f"# device op time (outer envelopes excluded): {total:.1f} ms (all reps)")
+    print(f"# outer program envelopes skipped: {skipped_outer:.1f} ms")
     print("\n## by kind")
     for k, ms in sorted(by_kind.items(), key=lambda kv: -kv[1]):
         print(f"{ms:9.2f} ms {100 * ms / total:5.1f}%  {k}")
