@@ -75,20 +75,37 @@ REPS_PER_DISPATCH = 8           # forwards chained (lax.scan) per dispatch
 # chain whose time depends only on backend/tunnel conditions, never on this
 # repo's code. PROBE_REF_MS is the reference session's measurement
 # (2026-08-19 late-night session, the same session that recorded the round-5
-# A/Bs); session_drift = probe_ms / PROBE_REF_MS, so a reader can tell
-# backend drift from code change when comparing rounds (the observed
+# A/Bs; measured 18.10-18.95 over repeated runs, median-ish 18.5);
+# session_drift = probe_ms / PROBE_REF_MS, so a reader can tell backend
+# drift from code change when comparing rounds (the observed
 # session-to-session spread is ~6% — larger than round margins).
-PROBE_REF_MS = 13.18
+PROBE_REF_MS = 18.5
 PROBE_N = 4096
 PROBE_REPS = 16
 
 
+# trace-time kernel knobs and their "not set / default" sentinel: any other
+# value marks the run as an A/B VARIANT (labeled in the headline, never
+# persisted as the supervisor's stale fallback)
+_VARIANT_VARS = (
+    ("DPFACE_DSLICE_FOLD", "out"),
+    ("DPFACE_AGG_DPACK", ""),
+    ("DPFACE_PRELU", "where"),
+    ("DPFACE_TOWER_S2D", ""),
+    ("DPFACE_ATTN_LAYOUT", ""),
+    ("DPFACE_ASM_REMAT_SAVE", ""),
+    ("DPFACE_ASM_HEAD_S2D", ""),
+)
+
+
 def _dfold_env():
-    """Non-default kernel-env override, if any (A/B runs in the battery).
-    Variant measurements are labeled in the headline and NOT persisted as
-    the supervisor's stale fallback."""
-    v = os.environ.get("DPFACE_DSLICE_FOLD", "out")
-    return v if v != "out" else ""
+    """Non-default kernel-env overrides, if any (A/B runs in the battery)."""
+    parts = []
+    for var, default in _VARIANT_VARS:
+        v = os.environ.get(var, default)
+        if v != default:
+            parts.append(f"{var}={v}")
+    return ",".join(parts)
 
 
 def _enable_compile_cache():
@@ -364,7 +381,7 @@ def _worker():
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
         "config": "serving fast paths (deform_impl=pallas, deform_offset_clamp, fused_regression, fast_attention, agg_dfold=auto, tower_s2d=half)"
-        + (f" +DPFACE_DSLICE_FOLD={_dfold_env()}" if _dfold_env() else ""),
+        + (f" +{_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,
         "anchor_gpu_util": GPU_UTIL,

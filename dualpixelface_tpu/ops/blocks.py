@@ -121,20 +121,18 @@ class _DSliceConv3D(nn.Module):
     bias_init: Any = nn.initializers.zeros
     dtype: Dtype = None
     # kd folding side: "out" (default) folds the 3 kd taps into OUTPUT
-    # channels (N = 3*Co for the MXU) + D-shifted adds; "pallas" uses the
-    # fused kernel (kernels/conv3d_dslice.py, stride-1 only; pending on-chip
-    # A/B). Alternative XLA formulations (in/out2/kdsum/bgc) were measured
-    # 1.4-2.6x worse by the TPU compiler's cost model and live in
-    # tools/aot_micro.py for reference.
+    # channels (N = 3*Co for the MXU) + D-shifted adds; "taps" swaps M/N for
+    # the co=1 classifier heads; "pallas" is the fused v1 kernel (wins ONLY
+    # at the deform offset heads' 3*Co=243 shape, where it is the default);
+    # "auto" picks per-site from the on-chip sweeps. Rejected variants: XLA
+    # formulations (in/out2/kdsum/bgc, 1.4-2.6x worse by the compiler's
+    # cost model) live in tools/aot_micro.py; the epilogue-fused pallas2
+    # kernel (lost every on-chip full-chain A/B) lives in
+    # tools/attic/conv3d_dslice_v2.py.
     dfold: str = "out"
 
     @nn.compact
-    def __call__(self, x, epilogue=None):
-        """epilogue: optional ([2, Co] f32 affine (a, b), relu: bool) fused
-        after the conv — in-kernel on the pallas2 path, as XLA elementwise
-        (identical math) on every other path. ConvBN3D passes its folded
-        eval-mode BatchNorm here so the pallas2 conv+BN+relu chain is one
-        kernel (XLA cannot fuse elementwise ops into a custom call)."""
+    def __call__(self, x):
         import os
 
         b, d, h, w, c = x.shape
@@ -143,24 +141,19 @@ class _DSliceConv3D(nn.Module):
         dt = x.dtype if self.dtype is None else self.dtype
         sd, sh, sw = self.strides
         do = (d + 2 - 3) // sd + 1
-
-        def xla_epilogue(y):
-            if epilogue is None:
-                return y
-            ab, relu = epilogue
-            y = (y.astype(jnp.float32) * ab[0] + ab[1]).astype(y.dtype)
-            return jnp.maximum(y, 0) if relu else y
-        # DPFACE_DSLICE_FOLD ('out'|'pallas') flips the compute path for
-        # on-chip A/Bs. It is read at TRACE time: set it before the first
-        # jit of a shape — an already-compiled executable will NOT retrace
-        # on an env change (construct modules with dfold=... for in-process
-        # A/Bs, as tools/bench_dslice_fold.py does).
+        # DPFACE_DSLICE_FOLD flips the compute path for on-chip A/Bs. It is
+        # read at TRACE time: set it before the first jit of a shape — an
+        # already-compiled executable will NOT retrace on an env change
+        # (construct modules with dfold=... for in-process A/Bs, as
+        # tools/bench_dslice_fold.py does).
         dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
-        if dfold not in ("auto", "out", "pallas", "pallas2", "taps", "s2d", "cpack"):
+        if dfold not in ("auto", "out", "pallas", "taps", "s2d", "cpack"):
             raise ValueError(
-                f"dfold {dfold!r} not in ('auto', 'out', 'pallas', 'pallas2', "
-                "'taps', 's2d', 'cpack') — the rejected A/B variants "
-                "(in/out2/kdsum/bgc) live in tools/aot_micro.py"
+                f"dfold {dfold!r} not in ('auto', 'out', 'pallas', 'taps', "
+                "'s2d', 'cpack') — the rejected A/B variants live in "
+                "tools/aot_micro.py (in/out2/kdsum/bgc) and "
+                "tools/attic/conv3d_dslice_v2.py (the epilogue-fused pallas2 "
+                "kernel, demoted round 5 after losing every on-chip A/B)"
             )
         if dfold == "auto":
             # per-site selection from the on-chip sweeps (2026-08-19,
@@ -186,7 +179,9 @@ class _DSliceConv3D(nn.Module):
             # MFU measured. Swap M and N instead: P[k, m] = w[k, :] . x[m, :]
             # puts the 27 taps on M (padded to the MXU tile, but the FLOPs
             # are trivial) and the voxels on N, then the conv is 27 shifted
-            # adds of P's MAJOR-dim planes — compact reads, no lane waste.
+            # adds of P's MAJOR-dim planes — compact reads, no lane waste
+            # (the epilogue-fused pallas2 attempt at these sites lost every
+            # on-chip A/B and lives in tools/attic/conv3d_dslice_v2.py).
             wmat = kernel.reshape(27, c).astype(dt)  # [(kd,kh,kw), C]
             p = jax.lax.dot_general(
                 wmat, x.astype(dt), (((1,), (4,)), ((), ())),
@@ -205,19 +200,7 @@ class _DSliceConv3D(nn.Module):
             out = acc.astype(dt)[..., None]
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return xla_epilogue(out)
-        if dfold == "pallas2" and dt == jnp.bfloat16 and self.strides == (1, 1, 1):
-            # kw-lane-folded kernel (kernels/conv3d_dslice.conv3d_dslice_v2):
-            # no in-VMEM im2col concat — the v1 kernel's measured VPU floor
-            from dualpixelface_tpu.ops.kernels.conv3d_dslice import conv3d_dslice_v2
-
-            ab, relu = epilogue if epilogue is not None else (None, False)
-            out = conv3d_dslice_v2(x.astype(dt), kernel.astype(dt), ab, relu)
-            if self.use_bias:
-                out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
             return out
-        if dfold == "pallas2":
-            dfold = "out"
         if dfold == "pallas" and dt != jnp.bfloat16:
             # f32 doubles every VMEM-resident block: at the 768x576 offset-
             # head shape the kernel's scoped-vmem stack is 35.9M vs the 16M
@@ -227,8 +210,10 @@ class _DSliceConv3D(nn.Module):
             dfold = "out"
         if dfold == "pallas" and self.strides == (1, 1, 1):
             # fused Pallas conv (kernels/conv3d_dslice.py): no HBM 3*Co
-            # intermediate, no layout copies; falls back to the XLA twin
-            # off-TPU, gradients via custom_vjp through the twin
+            # intermediate, no layout copies. Wins (and is the default) at
+            # the deform offset heads' 3*Co=243 shape; the hourglass sites
+            # keep XLA folds (see the kernel module docstring). Falls back
+            # to the XLA twin off-TPU; gradients via custom_vjp.
             from dualpixelface_tpu.ops.kernels.conv3d_dslice import (
                 conv3d_dslice_pallas,
             )
@@ -236,7 +221,7 @@ class _DSliceConv3D(nn.Module):
             out = conv3d_dslice_pallas(x.astype(dt), kernel.astype(dt))
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return xla_epilogue(out)
+            return out
         if dfold == "pallas":
             # the kernel's stride-2 variant is interpret-verified but its
             # parity-extraction form Mosaic-compiles pathologically slowly
@@ -284,7 +269,7 @@ class _DSliceConv3D(nn.Module):
             ).reshape(b, d, h, w, co)
             if self.use_bias:
                 out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-            return xla_epilogue(out)
+            return out
         assert dfold == "out", dfold
         # [3kd,3,3,C,Co] -> [3,3,C,(kd,Co)]
         k2 = kernel.transpose(1, 2, 3, 0, 4).reshape(3, 3, c, 3 * co)
@@ -312,7 +297,7 @@ class _DSliceConv3D(nn.Module):
             ]
         if self.use_bias:
             out = out + self.param("bias", self.bias_init, (co,)).astype(out.dtype)
-        return xla_epilogue(out)
+        return out
 
 
 class _DPackConv3D(nn.Module):
@@ -446,10 +431,9 @@ class ConvBN3D(nn.Module):
     utilization).
 
     `relu=True` applies the activation in-module (identical math to wrapping
-    nn.relu around the call); on the serving pallas2 path this lets the
-    whole conv+BN+relu chain run as ONE kernel: at eval BatchNorm folds to a
-    per-channel affine, passed into the conv kernel's epilogue. `dfold`
-    forwards to _DSliceConv3D for per-site fold selection."""
+    nn.relu around the call — XLA fuses the BN+relu chain into the conv's
+    epilogue on its own). `dfold` forwards to _DSliceConv3D for per-site
+    fold selection."""
 
     features: int
     kernel_size: int | Sequence[int] = 3
@@ -507,29 +491,6 @@ class ConvBN3D(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="BatchNorm_0",
         )
-        dfold = os.environ.get("DPFACE_DSLICE_FOLD", self.dfold)
-        fuse_bn = (
-            dslice
-            and not train
-            and dfold == "pallas2"
-            and dt == jnp.bfloat16
-            and st == (1, 1, 1)
-        )
-        if fuse_bn:
-            # bind/create the identical BatchNorm variables with a zero-flop
-            # dummy call, fold the eval-mode BN to (a, b), and run the whole
-            # conv+BN(+relu) chain inside the pallas2 kernel epilogue
-            bn(jnp.zeros((1, self.features), dt))
-            scale = bn.get_variable("params", "scale").astype(jnp.float32)
-            bias = bn.get_variable("params", "bias").astype(jnp.float32)
-            mean = bn.get_variable("batch_stats", "mean").astype(jnp.float32)
-            var = bn.get_variable("batch_stats", "var").astype(jnp.float32)
-            a = scale * jax.lax.rsqrt(var + 1e-5)
-            ab = jnp.stack([a, bias - mean * a])
-            return _DSliceConv3D(
-                self.features, strides=st, dtype=self.dtype,
-                dfold=self.dfold, name="Conv_0",
-            )(x, epilogue=(ab, self.relu))
         if dslice:
             x = _DSliceConv3D(
                 self.features, strides=st, dtype=self.dtype,

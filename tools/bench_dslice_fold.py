@@ -40,8 +40,7 @@ def bench(shape, co, dfold, reps=8, dtype=jnp.bfloat16, strides=(1, 1, 1),
           module="raw"):
     b, d, h, w, c = shape
     if module == "convbn":
-        # the full eval serving chain: conv + BN(+relu) — fused into the
-        # kernel epilogue on pallas2, separate XLA elementwise otherwise
+        # the full eval serving chain: conv + BN(+relu) as XLA fuses it
         from dualpixelface_tpu.ops.blocks import ConvBN3D
         from dualpixelface_tpu.ops.precision import cast_floating
 
@@ -99,8 +98,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--site", default=None,
                     help="comma-separated substring filter on site labels")
-    ap.add_argument("--folds", default="out,pallas",
-                    help="comma-separated dfold variants (out/pallas/pallas2)")
+    ap.add_argument("--folds", default="out,taps,cpack",
+                    help="comma-separated dfold variants (out/taps/cpack; the "
+                         "retired Pallas kernels live in tools/attic)")
     ap.add_argument("--module", default="raw", choices=("raw", "convbn"),
                     help="'convbn' benches the full eval ConvBN3D(relu) chain")
     args = ap.parse_args()
@@ -112,8 +112,6 @@ def main():
             continue
         print(label, flush=True)
         for dfold in args.folds.split(","):
-            if dfold.startswith("pallas") and strides != (1, 1, 1):
-                continue
             bench(shape, co, dfold, strides=strides, module=args.module)
 
 
