@@ -85,10 +85,16 @@ class STEREODPNET(nn.Module):
         # volumes — the kernel reads coarse logits and writes disparity
         # directly (prob_depth is then not produced).
         fused = bool(opt.get("fused_regression", False))
+        # resident D-packed aggregation: 'off'/'dres'/'full'
+        # (ops/aggregation.py docstring); legacy bool agg_dres_dpack maps to
+        # 'dres'. The on-chip A/B ledger lives in docs/PERFORMANCE.md round 5.
+        dpk = opt.get("agg_dpack", None)
+        if dpk is None:
+            dpk = "dres" if opt.get("agg_dres_dpack", False) else "off"
         cost_logits, cost_feats = PSMNetHGAggregation(
             opt.inplanes, upsample=not fused,
             dfold=opt.get("agg_dfold", "out"),
-            dres_dpack=bool(opt.get("agg_dres_dpack", False)),
+            dpack_mode=str(dpk),
             name="aggregation"
         )(cost, train)  # n x [B, 4D, H, W] (or coarse), n x [B, D, H/4, W/4, C]
 

@@ -350,6 +350,138 @@ class _DPackConv3D(nn.Module):
         return y.reshape(b, g, h, w, 4 * co)
 
 
+class _DPackConv3DS2(nn.Module):
+    """Stride-2 3x3x3 pad-1 conv on a RESIDENT D-packed tensor:
+    [B, G, H, W, 4C] -> [B, G/2, H/2, W/2, 4Co] (fine D = 4G, G even).
+
+    Fine output plane 4*go+j reads fine input planes 2*(4*go+j)+kd-1 —
+    a 9-plane window [8go-1, 8go+7] per output group: one halo plane (the
+    last C-block of group 2go-1, zeros at the edge) plus input groups 2go
+    and 2go+1, lane-concatenated to 9C. Output block j takes window plane
+    2j+kd for tap kd, so the whole stride-2 3-D conv is ONE dense 2-D conv
+    [3, 3, 9C, 4Co] with H/W stride 2 — input and output never leave the
+    packed layout. Declares the identical 'kernel' [3,3,3,C,Co] parameter
+    as _DSliceConv3D/nn.Conv."""
+
+    features: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, q):
+        b, g, h, w, c4 = q.shape
+        assert g % 2 == 0, f"packed stride-2 needs an even group count, got {g}"
+        c = c4 // 4
+        co = self.features
+        kernel = self.param("kernel", he_normal_out, (3, 3, 3, c, co))
+        dt = q.dtype if self.dtype is None else self.dtype
+        go = g // 2
+        q_even = q[:, 0::2]  # groups 2go   (fine planes 8go..8go+3)
+        q_odd = q[:, 1::2]   # groups 2go+1 (fine planes 8go+4..8go+7)
+        # halo plane 8go-1 = last C-block of group 2go-1 = q_odd[go-1]
+        prevlast = jnp.pad(
+            q_odd[..., 3 * c :], ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0))
+        )[:, :go]
+        xs = jnp.concatenate([prevlast, q_even, q_odd], axis=-1)  # 9C lanes
+        xs = xs.reshape(b * go, h, w, 9 * c).astype(dt)
+        wk = jnp.zeros((3, 3, 9 * c, 4 * co), kernel.dtype)
+        for j in range(4):
+            for kd in range(3):
+                wp = 2 * j + kd  # window plane (0 = fine 8go-1)
+                wk = wk.at[
+                    :, :, wp * c : (wp + 1) * c, j * co : (j + 1) * co
+                ].set(kernel[kd])
+        y = jax.lax.conv_general_dilated(
+            xs, wk.astype(dt), (2, 2), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )  # [b*go, h/2, w/2, 4co]
+        return y.reshape(b, go, y.shape[1], y.shape[2], 4 * co)
+
+
+class _DPackTConv3D(nn.Module):
+    """Transposed 3x3x3 stride-2 conv (torch ConvTranspose3d k3 s2 p1 op1,
+    out = exactly 2x in) on a RESIDENT D-packed tensor:
+    [B, G, H, W, 4C] -> [B, 2G, 2H, 2W, 4Co] (fine D = 4G).
+
+    Per axis (sub-pixel decomposition, as _PackedTConv3D):
+    out[2i] = x[i] w[1]; out[2i+1] = x[i] w[2] + x[i+1] w[0]. Output group
+    go holds fine out planes 4go+j, which read fine in planes 2go..2go+2 —
+    a 3-plane window per output group (plane 2go+2 zero past the edge):
+    even go = blocks 0..2 of input group go/2, odd go = blocks 2,3 plus the
+    next group's block 0. The D parities are baked into the kernel scatter
+    (output channel blocks j ARE the packed lane order — no D interleave
+    op at all); H/W tap pairs ride a 2x2 VALID conv over the +1-padded map
+    and interleave in two staged steps. Declares the identical 'kernel'
+    [3, 3, 3, Cout, Cin] parameter as nn.ConvTranspose(transpose_kernel)."""
+
+    features: int
+    dtype: Dtype = None
+
+    @nn.compact
+    def __call__(self, q):
+        b, g, h, w, c4 = q.shape
+        c = c4 // 4
+        co = self.features
+        kernel = self.param("kernel", he_normal_out, (3, 3, 3, co, c))
+        dt = q.dtype if self.dtype is None else self.dtype
+        k = kernel.transpose(0, 1, 2, 4, 3)  # [kd, kh, kw, Cin, Cout]
+        go = 2 * g
+
+        # 3-plane windows: even go -> blocks 0..2 of group go/2; odd go ->
+        # blocks 2,3 + next group's block 0 (zeros past the top edge)
+        nxt0 = jnp.pad(
+            q[..., :c], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
+        )[:, 1:]
+        a = q[..., : 3 * c]                                   # [B, G, .., 3C]
+        bwin = jnp.concatenate([q[..., 2 * c :], nxt0], axis=-1)
+        xs = jnp.stack([a, bwin], axis=2).reshape(b, go, h, w, 3 * c)
+
+        def kidx(r, t):
+            if r == 0:
+                return 1 if t == 0 else None
+            return 2 if t == 0 else 0
+
+        # D rule on (j, window plane wp): out plane 4go+j reads window
+        # planes wp with tap kd — j even: (wp=j//2, kd=1);
+        # j odd: (wp=(j-1)//2, kd=2) and (wp=(j-1)//2+1, kd=0)
+        dtaps = {
+            0: ((0, 1),),
+            1: ((0, 2), (1, 0)),
+            2: ((1, 1),),
+            3: ((1, 2), (2, 0)),
+        }
+        # channel order (rh, rw, j, co) major->minor so the staged H/W
+        # interleave peels rh then rw while j rides in the minor block
+        w2 = jnp.zeros((2, 2, 3 * c, 16 * co), k.dtype)
+        for rh in (0, 1):
+            for rw in (0, 1):
+                for th in (0, 1):
+                    for tw in (0, 1):
+                        kh, kw = kidx(rh, th), kidx(rw, tw)
+                        if kh is None or kw is None:
+                            continue
+                        for j in range(4):
+                            for wp, kd in dtaps[j]:
+                                r = ((rh * 2 + rw) * 4 + j) * co
+                                w2 = w2.at[
+                                    th, tw, wp * c : (wp + 1) * c, r : r + co
+                                ].set(k[kd, kh, kw])
+
+        xp = jnp.pad(
+            xs, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0))
+        ).reshape(b * go, h + 1, w + 1, 3 * c).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            xp, w2.astype(dt), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=dt,
+        )  # [B*Go, H, W, 16Co]
+        # staged parity interleave (rh then rw), j stays on the lanes
+        y = y.reshape(b, go, h, w, 2, 8 * co)
+        y = y.transpose(0, 1, 2, 4, 3, 5).reshape(b, go, 2 * h, w, 8 * co)
+        # (rw) sits right next to w already: a straight reshape interleaves
+        return y.reshape(b, go, 2 * h, 2 * w, 4 * co)
+
+
 class _PackedTConv3D(nn.Module):
     """Param-compatible stand-in for nn.ConvTranspose(3x3x3, stride 2,
     pad (1,2), transpose_kernel=True) — torch ConvTranspose3d(k=3, s=2, p=1,
@@ -444,9 +576,10 @@ class ConvBN3D(nn.Module):
     relu: bool = False
     dfold: str = "out"
     # dpack=True: input/output are RESIDENT D-packed [B, G, H, W, 4C]
-    # tensors (ops/s2d.dpack; stride-1 3x3x3 only). Same params
+    # tensors (ops/s2d.dpack; 3x3x3 pad-1, stride 1 or 2). Same params
     # ('Conv_0' kernel, 'BatchNorm_0'), same outputs and BN statistics —
     # S2DBatchNorm pools the 4 packed D-planes exactly like fine BN.
+    # Stride 2 halves the group count (_DPackConv3DS2; needs G even).
     dpack: bool = False
 
     @nn.compact
@@ -456,12 +589,11 @@ class ConvBN3D(nn.Module):
         if self.dpack:
             from dualpixelface_tpu.ops.s2d import S2DBatchNorm
 
-            assert self.kernel_size == 3 and self.strides == 1, (
-                "dpack supports stride-1 3x3x3 sites only"
+            assert self.kernel_size == 3 and self.strides in (1, 2), (
+                "dpack supports 3x3x3 pad-1 stride-1/2 sites only"
             )
-            y = _DPackConv3D(
-                self.features, dtype=self.dtype, name="Conv_0"
-            )(x)
+            conv = _DPackConv3D if self.strides == 1 else _DPackConv3DS2
+            y = conv(self.features, dtype=self.dtype, name="Conv_0")(x)
             y = S2DBatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=self.dtype, name="BatchNorm_0",
@@ -520,6 +652,10 @@ class TConvBN3D(nn.Module):
 
     features: int
     dtype: Dtype = None
+    # dpack=True: input/output are RESIDENT D-packed tensors
+    # ([B, G, .., 4C] -> [B, 2G, 2H, 2W, 4Co], _DPackTConv3D). Same params
+    # ('ConvTranspose_0' kernel, 'BatchNorm_0'), outputs and BN statistics.
+    dpack: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -527,6 +663,16 @@ class TConvBN3D(nn.Module):
         # _PackedTConv3D computes it as a parity-decomposed dense conv (the
         # flax nn.ConvTranspose lowering measured ~2% MFU on TPU); the param
         # is the identical transpose_kernel [3,3,3,O,I] tensor.
+        if self.dpack:
+            from dualpixelface_tpu.ops.s2d import S2DBatchNorm
+
+            x = _DPackTConv3D(
+                self.features, dtype=self.dtype, name="ConvTranspose_0"
+            )(x)
+            return S2DBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="BatchNorm_0",
+            )(x)
         x = _PackedTConv3D(self.features, dtype=self.dtype, name="ConvTranspose_0")(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=self.dtype

@@ -162,17 +162,52 @@ def test_dpack_roundtrip():
     np.testing.assert_array_equal(np.asarray(dunpack(dpack(x))), np.asarray(x))
 
 
-def _agg_pair():
+def test_dpack_stride2_conv_matches_fine():
+    from dualpixelface_tpu.ops.blocks import _DPackConv3DS2, _DSliceConv3D
+    from dualpixelface_tpu.ops.s2d import dpack, dunpack
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 10, 5)), jnp.float32)
+    fine = _DSliceConv3D(7, strides=(2, 2, 2))
+    var = fine.init(jax.random.PRNGKey(5), x)
+    ref = fine.apply(var, x)
+    got = dunpack(
+        _DPackConv3DS2(7).apply(
+            {"params": {"kernel": var["params"]["kernel"]}}, dpack(x)
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_dpack_tconv_matches_fine():
+    from dualpixelface_tpu.ops.blocks import _DPackTConv3D, _PackedTConv3D
+    from dualpixelface_tpu.ops.s2d import dpack, dunpack
+
+    rng = np.random.default_rng(14)
+    x = jnp.asarray(rng.standard_normal((2, 4, 12, 10, 5)), jnp.float32)
+    fine = _PackedTConv3D(7)
+    var = fine.init(jax.random.PRNGKey(6), x)
+    ref = fine.apply(var, x)
+    got = dunpack(
+        _DPackTConv3D(7).apply(
+            {"params": {"kernel": var["params"]["kernel"]}}, dpack(x)
+        )
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def _agg_pair(mode):
     from dualpixelface_tpu.ops.aggregation import PSMNetHGAggregation
 
-    plain = PSMNetHGAggregation(8, upsample=False, dres_dpack=False)
-    packed = PSMNetHGAggregation(8, upsample=False, dres_dpack=True)
+    plain = PSMNetHGAggregation(8, upsample=False, dpack_mode="off")
+    packed = PSMNetHGAggregation(8, upsample=False, dpack_mode=mode)
     return plain, packed
 
 
-def test_aggregation_dres_dpack_exact_eval():
-    """Resident D-packed dres chain: identical param tree and outputs."""
-    plain, packed = _agg_pair()
+@pytest.mark.parametrize("mode", ["dres", "full"])
+def test_aggregation_dpack_exact_eval(mode):
+    """Resident D-packed aggregation: identical param tree and outputs."""
+    plain, packed = _agg_pair(mode)
     rng = np.random.default_rng(11)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)), jnp.float32)
     var = plain.init(jax.random.PRNGKey(3), x)
@@ -180,13 +215,15 @@ def test_aggregation_dres_dpack_exact_eval():
     assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var2)
     for a, b in zip(jax.tree_util.tree_leaves(var), jax.tree_util.tree_leaves(var2)):
         assert a.shape == b.shape
-    (y1,), _ = plain.apply(var, x, False)
-    (y2,), _ = packed.apply(var, x, False)
+    (y1,), (f1,) = plain.apply(var, x, False)
+    (y2,), (f2,) = packed.apply(var, x, False)
     np.testing.assert_allclose(np.asarray(y2), np.asarray(y1), rtol=5e-5, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), rtol=5e-5, atol=5e-5)
 
 
-def test_aggregation_dres_dpack_train_stats_match():
-    plain, packed = _agg_pair()
+@pytest.mark.parametrize("mode", ["dres", "full"])
+def test_aggregation_dpack_train_stats_match(mode):
+    plain, packed = _agg_pair(mode)
     rng = np.random.default_rng(12)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 8, 16)), jnp.float32)
     var = plain.init(jax.random.PRNGKey(4), x)
