@@ -206,6 +206,10 @@ def _build(config_name="train_synthetic_stereodpnet", mode="serving"):
     # per-site dslice folds (taps at the co=1 classifier heads, out
     # elsewhere), selected on-chip 2026-08-19 — docs/PERFORMANCE.md round 4
     cfg.data["model"]["agg_dfold"] = "auto"
+    # resident D-packed aggregation, FULL extent (model default; exact
+    # reparametrization). Round-5 same-session A/B at b4 768x576:
+    # off 41.38 / dres 43.74 / full 45.17 pairs/s
+    cfg.data["model"]["agg_dpack"] = "full"
     # space-to-depth tower, HALF extent (stem + block1; exact
     # reparametrization, ops/s2d.py). Same-session forward A/B at b4
     # 768x576: off 40.85 / half 40.83 / full 40.11 pairs/s — the packed
@@ -307,6 +311,9 @@ def measure_train_step():
     # work, so the packed interblocks pay off in training where they lose
     # on the forward): same-session train A/B half 8.16 / full 8.47 pairs/s
     cfg.data["model"]["tower_s2d"] = "full"
+    # resident D-packed aggregation (model default 'full'): round-5 train
+    # A/B off 9.065 / dres 9.625 / full 9.844 pairs/s
+    cfg.data["model"]["agg_dpack"] = "full"
     opt = cfg.get_config()
     model = model_selector(opt)
     batch = jax.tree_util.tree_map(
@@ -380,7 +387,7 @@ def _worker():
         # (windowed Pallas deform + fused regression — stereodpnet_plus's
         # fast paths); `stereodpnet`'s own default is the exact unbounded
         # packed8 semantics (README deviations, deform_window_ab.py)
-        "config": "serving fast paths (deform_impl=pallas, deform_offset_clamp, fused_regression, fast_attention, agg_dfold=auto, tower_s2d=half)"
+        "config": "serving fast paths (deform_impl=pallas, deform_offset_clamp, fused_regression, fast_attention, agg_dfold=auto, agg_dpack=full, tower_s2d=half)"
         + (f" +{_dfold_env()}" if _dfold_env() else ""),
         "anchor_gpu_pairs_per_sec": round(REF_GPU_PAIRS_PER_SEC, 2),
         "anchor_flops_per_pair": FLOPS_PER_PAIR,

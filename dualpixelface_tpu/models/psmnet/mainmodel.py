@@ -112,7 +112,13 @@ class PSMNET(nn.Module):
         else:
             raise NotImplementedError(f"cost volume style {opt.cost_volume!r}")
 
-        cost_logits, _feats = PSMNetHGAggregation(opt.inplanes, name="aggregation")(cost, train)
+        # resident D-packed aggregation (exact reparametrization; falls back
+        # per-shape when D doesn't support the pack factor — ops/aggregation)
+        cost_logits, _feats = PSMNetHGAggregation(
+            opt.inplanes,
+            dpack_mode=str(opt.get("agg_dpack", "full")),
+            name="aggregation",
+        )(cost, train)
 
         disp_out, prob_out = [], []
         for logits in cost_logits:

@@ -87,10 +87,14 @@ class STEREODPNET(nn.Module):
         fused = bool(opt.get("fused_regression", False))
         # resident D-packed aggregation: 'off'/'dres'/'full'
         # (ops/aggregation.py docstring); legacy bool agg_dres_dpack maps to
-        # 'dres'. The on-chip A/B ledger lives in docs/PERFORMANCE.md round 5.
+        # 'dres'. DEFAULT 'full' — an exact reparametrization (same params,
+        # outputs, BN stats; tests/test_s2d.py) that won every round-5
+        # on-chip A/B: fwd 41.38 -> 45.17 pairs/s, train 9.07 -> 9.84
+        # (docs/PERFORMANCE.md round 5); falls back per-shape when D doesn't
+        # support the pack factor.
         dpk = opt.get("agg_dpack", None)
         if dpk is None:
-            dpk = "dres" if opt.get("agg_dres_dpack", False) else "off"
+            dpk = "dres" if opt.get("agg_dres_dpack", False) else "full"
         cost_logits, cost_feats = PSMNetHGAggregation(
             opt.inplanes, upsample=not fused,
             dfold=opt.get("agg_dfold", "out"),

@@ -80,6 +80,18 @@ def _hat(iota, pos):
     return jnp.maximum(1.0 - jnp.abs(iota - pos), 0.0)
 
 
+def _probe_mode():
+    """TIMING-ONLY diagnostics (tools/bench_deform_kernel.py --probe):
+    'noscratch' skips the 28-slice scratch rearrangement, 'nohat' replaces
+    the trilinear hat build with a constant, 'nodreduce' skips the D-plane
+    reduction. Each produces WRONG numerics by construction — they exist to
+    attribute the kernel's ms to its VPU components on chip. Never set in
+    production; read at trace time."""
+    import os
+
+    return os.environ.get("DPFACE_DEFORM_PROBE", "")
+
+
 def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
     """xw_ref: [1, 1, 1, hb+7, WWIN, D_PAD*cpad]  w-windowed slab (cdt)
     pos_ref:  [1, 1, hb, 3, NPL]            (pd, ph_rel, pw_rel) f32
@@ -113,6 +125,8 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
     i_h = fiota((1, DH_ROWS, 1, NPL), 1)
     i_w = fiota((1, 1, WWIN, NPL), 2)
 
+    probe = _probe_mode()
+
     # fp32 path (oracle tests): force 3-pass matmuls — the TPU default dot
     # precision is one bf16 pass (~3e-3 rel), production bf16 keeps DEFAULT
     prec = (
@@ -133,9 +147,12 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
             # VPU. Hats subtract in f32 (positions span [0,16): bf16 ulp
             # there is 1/16) and multiply in cdt.
             ad = _hat(i_d, pd)                # [D_PAD, 1, NPL] f32
-            ah = _hat(i_h, ph).astype(cdt)    # [1, DH_ROWS, 1, NPL]
-            aw = _hat(i_w, pw).astype(cdt)    # [1, 1, WWIN, NPL]
-            s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
+            if probe == "nohat":
+                s2 = jnp.full((DH_ROWS * WWIN, NPL), 0.5, cdt)
+            else:
+                ah = _hat(i_h, ph).astype(cdt)    # [1, DH_ROWS, 1, NPL]
+                aw = _hat(i_w, pw).astype(cdt)    # [1, 1, WWIN, NPL]
+                s2 = (ah * aw).reshape(DH_ROWS * WWIN, NPL)
 
             # (dh, w) rows of row h: slab rows (h+dh, :) — static slices
             tsrc = _tsrc_rows(xw_ref, h)  # [DH_ROWS*WWIN, D_PAD*cpad]
@@ -149,14 +166,21 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
             ).reshape(D_PAD, cpad, NPL)  # per-plane partial columns, f32
 
             # D hat: lane-local contraction over the 4 planes
-            cols = jnp.sum(cols4 * ad, axis=0)  # [cpad, NPL] f32
+            if probe == "nodreduce":
+                cols = cols4[0]
+            else:
+                cols = jnp.sum(cols4 * ad, axis=0)  # [cpad, NPL] f32
 
             cb = cols.astype(cdt)
-            # lane p*8+wo, p = tap*4 + dout: tap tau = lanes [32*tau, 32*tau+32)
-            for tau in range(TAP_PAD):
-                sb_ref[tau, :, hs * 32 : (hs + 1) * 32] = cb[
-                    :, tau * 32 : (tau + 1) * 32
-                ]
+            if probe == "noscratch":
+                sb_ref[0, :, :] = cb[:, :128]
+            else:
+                # lane p*8+wo, p = tap*4 + dout: tap tau = lanes
+                # [32*tau, 32*tau+32)
+                for tau in range(TAP_PAD):
+                    sb_ref[tau, :, hs * 32 : (hs + 1) * 32] = cb[
+                        :, tau * 32 : (tau + 1) * 32
+                    ]
 
         # ONE dot over the flattened (tap, ch) axis — 27 separate K=cpad dots
         # are MXU-latency-bound; the scratch is already contiguous as

@@ -44,13 +44,19 @@ if [[ "$PHASE" == *full* ]]; then
     2>&1 | tee "$OUT/train_dpack_full.txt"
 fi
 
+if [[ "$PHASE" == *t2* ]]; then
+  log "train A/B: packed ASM mask-head convs (exact attention path)"
+  DPFACE_ASM_HEAD_S2D=1 timeout 1800 python -u bench.py --extra train \
+    2>&1 | tee "$OUT/train_heads2d.txt"
+  log "train A/B: PReLU maxmin on top of agg_dpack=full"
+  DPFACE_PRELU=maxmin timeout 1800 python -u bench.py --extra train \
+    2>&1 | tee "$OUT/train_prelu2.txt"
+fi
+
 if [[ "$PHASE" == *stages* ]]; then
   log "per-stage forward ablation (aggregation ms)"
-  STAGES_ONLY=1 timeout 1800 python -u tools/ablate_forward.py \
-    2>&1 | tee "$OUT/stages_base.txt"
-  log "per-stage with resident dpack"
-  DPFACE_AGG_DPACK=1 STAGES_ONLY=1 timeout 1800 python -u tools/ablate_forward.py \
-    2>&1 | tee "$OUT/stages_dpack.txt"
+  PYTHONPATH="$PWD:${PYTHONPATH:-}" STAGES_ONLY=1 timeout 1800 \
+    python -u tools/ablate_forward.py 2>&1 | tee "$OUT/stages_base.txt"
 fi
 
 log "battery phase '$PHASE' done"
