@@ -221,6 +221,17 @@ class ASMCostVolume(nn.Module):
             vol_tar = attention(
                 tar_feat, train, shift_fn=sf("backward"), mode_list=mode_list
             )
+        elif opt.get("attention_layout", "stacked") == "mpack":
+            # exact math with the M shift modes PACKED on the lane dim:
+            # block-diagonal head convs at M*C lanes, mode-axis ops as
+            # lane-group expressions (ops/asm.py mpack branch) — removes the
+            # batch-minor conv relayouts of the batch-folded exact layouts
+            # (equivalence tested in test_asm.py)
+            m = int(opt.nearest) + int(opt.bilinear) + int(opt.phase)
+            fwd = subpixel_shift_planes(ref_feat, disps, "forward", layout="mpack", **modes)
+            bwd = subpixel_shift_planes(tar_feat, disps, "backward", layout="mpack", **modes)
+            vol_ref = attention(fwd, train, mpack=m)  # [B, D, H, W, C]
+            vol_tar = attention(bwd, train, mpack=m)
         elif opt.get("attention_layout", "stacked") == "flat":
             # exact math in the mode-MAJOR layout: every mode-axis op works
             # on major dims, avoiding the [B,D,M,..] fold relayout copies

@@ -188,6 +188,13 @@ def subpixel_shift_planes(
         # static shifts into the consumers and the [B, D, M, H, W, C]
         # materialization (+ its M-axis relayout copies) never exists
         return planes_by_mode
+    if layout == "mpack":
+        # MODE-PACKED lanes: [B, D, H, W, M*C], mode-major. The exact
+        # attention's conv head then runs block-diagonal at M*C lanes
+        # (75% MXU occupancy at C=32 vs 25%) with the mode axis never
+        # touching the conv batch — the batch-minor layout flips XLA
+        # inserts around the [B*D*?, H, W, 32] folds disappear.
+        return jnp.concatenate(planes_by_mode, axis=-1)
     if layout == "flat":
         # mode-MAJOR stack: [M, B, D, H, W, C]. Folding to the conv batch is
         # then a pure major-dim reshape, where the stacked layout's
@@ -214,10 +221,33 @@ class _ModeFoldedConv(nn.Module):
     # attention head's C=32 quarter-res shapes. Requires SAME padding
     # (padding == (k-1)//2), which both head convs use.
     s2d: bool = False
+    # mpack=M > 0: input is MODE-PACKED [N, H, W, M*C] (mode-major lanes) and
+    # the conv runs block-diagonal ([kh, kw, M*C, M*F], per-mode blocks share
+    # the one fine kernel) — identical parameter and math, the mode axis
+    # never touches the conv batch.
+    mpack: int = 0
 
     @nn.compact
     def __call__(self, x):
         kh, kw = self.kernel_size
+        if self.mpack:
+            m = self.mpack
+            n, h, w, cm = x.shape
+            c = cm // m
+            f = self.features
+            kernel = self.param("kernel", he_normal_out, (1, kh, kw, c, f))
+            dt = x.dtype if self.dtype is None else self.dtype
+            wk = jnp.zeros((kh, kw, m * c, m * f), kernel.dtype)
+            for j in range(m):
+                wk = wk.at[:, :, j * c : (j + 1) * c, j * f : (j + 1) * f].set(
+                    kernel[0]
+                )
+            p = self.padding
+            return jax.lax.conv_general_dilated(
+                x.astype(dt), wk.astype(dt), (1, 1), [(p, p), (p, p)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=dt,
+            )
         if self.s2d:
             from dualpixelface_tpu.ops.s2d import scatter_kernel
 
@@ -291,6 +321,7 @@ class MaskingAttention(nn.Module):
         shift_fn=None,
         flat: bool = False,
         mode_list: bool = False,
+        mpack: int = 0,
     ):
         """Exact mode (shift_fn=None): x = [B, D, M, H, W, C] pre-shifted
         planes, the conv head runs on every (plane, mode) — the reference
@@ -319,6 +350,60 @@ class MaskingAttention(nn.Module):
         # Saving just (conv inputs, conv outputs) keeps the recompute purely
         # elementwise at ~3 x 85 MB bf16 per direction.
         from jax.ad_checkpoint import checkpoint_name
+
+        if shift_fn is None and mpack:
+            # MODE-PACKED exact path: x = [B, D, H, W, M*C] (mode-major
+            # lanes, subpixel_shift_planes layout='mpack'). Every head conv
+            # is block-diagonal at M*C lanes with the conv batch B*D, every
+            # mode-axis op (BN/IN statistics, softmax, gated mean) a
+            # lane-group expression — the exact semantics of the stacked
+            # path (same parameter tree, same reduction sets; asserted by
+            # tests/test_asm.py) without the [B*D*M(batch), .., 32] folds
+            # whose batch-minor conv layouts cost ~2 ms of relayout copies
+            # per conv fwd+bwd in the b2 768x576 train step.
+            m = mpack
+            b, d, h, w, cm = x.shape
+            c = cm // m
+            f = self.features
+            head_in = checkpoint_name(x.reshape(b * d, h, w, cm), "asm_head_in")
+            y = head_in
+            mask = _ModeFoldedConv(
+                f, (3, 3), padding=1, dtype=dt, mpack=m, name="Conv_0"
+            )(head_in)
+            mask = checkpoint_name(mask, "asm_conv0_out")
+            from dualpixelface_tpu.ops.s2d import S2DBatchNorm
+
+            mask = S2DBatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=dt, groups=m, name="BatchNorm_0",
+            )(mask)
+            mask = nn.relu(mask)
+            mask = _ModeFoldedConv(
+                f, (1, 1), padding=0, dtype=dt, mpack=m, name="Conv_1"
+            )(mask)
+            mask = checkpoint_name(mask, "asm_mask_out")
+            mask = InstanceNorm(dtype=dt, groups=m)(mask)
+            if self.act == "relu":
+                mask = PReLU(init=0.05)(mask)
+            elif self.act == "sigmoid":
+                mask = nn.sigmoid(mask)
+            else:
+                raise NotImplementedError(f"asm activation {self.act!r}")
+            blocks = [mask[..., j * f : (j + 1) * f] for j in range(m)]
+            mx = blocks[0]
+            for t in blocks[1:]:
+                mx = jnp.maximum(mx, t)
+            exps = [jnp.exp(t - mx) for t in blocks]
+            z = sum(exps)
+            ys = [y[..., j * c : (j + 1) * c] for j in range(m)]
+            gated = [yv * (e / z) for yv, e in zip(ys, exps)]
+            if self.feature_fetch:
+                avg = sum(gated) / m
+                avg2 = sum(t * t for t in gated) / m
+                out = avg2 - avg * avg
+            else:
+                out = sum(gated) / m
+            return out.reshape(b, d, h, w, c)
 
         if shift_fn is None and flat:
             # mode-MAJOR flat layout [M, B, D, H, W, C]: the conv-batch fold

@@ -782,13 +782,19 @@ class _PerChannelNorm(nn.Module):
     # the sample axis. Callers with a different sample axis (e.g. the flat
     # mode-major attention layout) pass the reduction axes explicitly.
     reduce_axes: tuple | None = None
+    # groups=G > 1: the lane dim is a PACKED [G, C] stack of G fine-channel
+    # groups (the mode-packed ASM attention). Params stay [C] (tiled G-fold),
+    # and the statistics pool the G groups per fine channel — the identical
+    # reduction set as normalizing the unpacked [.., G, .., C] tensor.
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, stats=None):
         """stats: optional externally computed (mean, var), f32, broadcastable
         against x — used by the listwise fast-attention path where the (mode,
         h, w) statistics span several unstacked tensors."""
-        c = x.shape[-1]
+        g = self.groups
+        c = x.shape[-1] // g
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         dt = x.dtype if self.dtype is None else self.dtype
@@ -802,10 +808,26 @@ class _PerChannelNorm(nn.Module):
             )
             xf = x.astype(jnp.float32)
             mean = jnp.mean(xf, axis=red, keepdims=True)
-            var = jnp.mean(jnp.square(xf), axis=red, keepdims=True) - jnp.square(mean)
+            if g > 1:  # pool the packed groups per fine channel, re-tile
+                sh = mean.shape[:-1]
+                mean = jnp.mean(mean.reshape(sh + (g, c)), axis=-2)
+                e2 = jnp.mean(jnp.square(xf), axis=red, keepdims=True)
+                e2 = jnp.mean(e2.reshape(sh + (g, c)), axis=-2)
+                var = e2 - jnp.square(mean)
+                mean = jnp.tile(mean, (1,) * len(sh) + (g,)).reshape(
+                    sh + (g * c,)
+                )
+                var = jnp.tile(var, (1,) * len(sh) + (g,)).reshape(sh + (g * c,))
+            else:
+                var = (
+                    jnp.mean(jnp.square(xf), axis=red, keepdims=True)
+                    - jnp.square(mean)
+                )
+        sc = scale if g == 1 else jnp.tile(scale, g)
+        bi = bias if g == 1 else jnp.tile(bias, g)
         inv = jax.lax.rsqrt(var + self.epsilon)
-        a = (inv * scale.astype(jnp.float32)).astype(dt)
-        b = (bias.astype(jnp.float32) - mean * inv * scale.astype(jnp.float32)).astype(dt)
+        a = (inv * sc.astype(jnp.float32)).astype(dt)
+        b = (bi.astype(jnp.float32) - mean * inv * sc.astype(jnp.float32)).astype(dt)
         return x.astype(dt) * a + b
 
 
@@ -818,10 +840,12 @@ class InstanceNorm(nn.Module):
     epsilon: float = 1e-5
     dtype: Dtype | None = None
     reduce_axes: tuple | None = None
+    groups: int = 1
 
     @nn.compact
     def __call__(self, x, stats=None):
         return _PerChannelNorm(
             epsilon=self.epsilon, dtype=self.dtype,
-            reduce_axes=self.reduce_axes, name="GroupNorm_0",
+            reduce_axes=self.reduce_axes, groups=self.groups,
+            name="GroupNorm_0",
         )(x, stats=stats)

@@ -34,6 +34,7 @@ Layout:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +198,116 @@ def _kernel(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
         # traffic (2 x 113 MB f32 per ANM conv at 768x576, aot_analyze)
 
 
+def _kernel_v6(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
+    """v6 (round 5): per-TAP sampling dots over the 4-row candidate union.
+
+    xw_ref: [1, 1, 1, hb+7, WWIN, D_PAD*cpad]   w-windowed slab (cdt)
+    pos_ref: [1, 1, hb//HGRP, 3, TAP_PAD, 128]  (pd, ph_rel, pw_rel) f32,
+             lanes = (hs, dout, wo) — the OUTPUT voxel order
+    w_ref:   [TAP_PAD, cpad, cout]
+    out_ref: [1, 1, hb//HGRP, 128, cout]
+    sb_ref:  [TAP_PAD, cpad, 128] scratch (cdt)
+
+    v5 processed one output row per step with pair-lanes (tap, dout, wo),
+    then spent 28 lane-group moves per row rearranging the columns into the
+    [TAP_PAD*cpad, 128] layout the output dot wants — measured at ~6 of the
+    kernel's ~14 ms/conv (DPFACE_DEFORM_PROBE=noscratch, 8.07 ms with the
+    moves deleted). Here each tap's dot contracts the whole 4-row candidate
+    union ((HGRP+DH_ROWS-1) x WWIN = 176 rows) against hats laid out
+    directly in the output voxel order, so each result IS sb[tap] — zero
+    rearrangement. Costs ~33% more sampling MACs (the 4-row union is wider
+    than one row's window); the probe says the trade is strongly net-positive.
+
+    ON-CHIP RESULT (round 5, same-session A/B): v6 LOSES — 20.75 vs v5's
+    14.06 ms/conv at the ANM 768x576 shape. 27 narrow per-tap dots per
+    group are MXU-latency-bound; the wide-union extra MACs compound it.
+    Kept behind DPFACE_DEFORM_KV as a documented negative result (the
+    noscratch probe's 8.07 ms floor is real, but reaching it needs few,
+    WIDE dots whose results land scratch-aligned — not more small dots).
+    """
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    nl = HGRP * D_PAD * WBLK  # 128 output voxel lanes per group
+    crow = HGRP + DH_ROWS - 1  # candidate rows per group window
+    hs_l = (jax.lax.broadcasted_iota(jnp.int32, (1, nl), 1) // (D_PAD * WBLK)).astype(
+        jnp.float32
+    )
+    wo_l = (jax.lax.broadcasted_iota(jnp.int32, (1, nl), 1) % WBLK).astype(jnp.float32)
+    i_d = fiota((D_PAD, 1, nl), 0)
+    i_r = fiota((1, crow, 1, nl), 1)
+    i_w = fiota((1, 1, WWIN, nl), 2)
+
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    @pl.when(pl.program_id(2) == 0)
+    def _zero_pad_taps():
+        # the TAP_PAD-KTAPS pad taps never get written below
+        for tau in range(KTAPS, TAP_PAD):
+            sb_ref[tau, :, :] = jnp.zeros((cpad, 128), cdt)
+
+    for hg in range(hb // HGRP):
+        tsrc4 = xw_ref[0, 0, 0, hg * HGRP : hg * HGRP + crow].reshape(
+            crow * WWIN, xw_ref.shape[-1]
+        )
+        for tau in range(KTAPS):
+            pd = pos_ref[0, 0, hg, 0, tau][None, :]               # [1, nl]
+            # candidate row r (window-local) holds source row base+r;
+            # output row hs samples ph_rel + AP around itself
+            ph = pos_ref[0, 0, hg, 1, tau][None, :] + AP + hs_l
+            pw = pos_ref[0, 0, hg, 2, tau][None, :] + (AP + 1) + wo_l
+
+            ah = _hat(i_r, ph).astype(cdt)   # [1, crow, 1, nl]
+            aw = _hat(i_w, pw).astype(cdt)   # [1, 1, WWIN, nl]
+            s2 = (ah * aw).reshape(crow * WWIN, nl)
+
+            cols4 = jax.lax.dot_general(
+                tsrc4, s2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(D_PAD, cpad, nl)
+            ad = _hat(i_d, pd)               # [D_PAD, 1, nl] f32
+            sb_ref[tau, :, :] = jnp.sum(cols4 * ad, axis=0).astype(cdt)
+
+        out_ref[0, 0, hg] = jax.lax.dot_general(
+            sb_ref[:, :, :].reshape(TAP_PAD * cpad, 128),
+            w_ref[:, :, :].reshape(TAP_PAD * cpad, cout),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(cdt)
+
+
+def _prep_positions_v6(offset, d, hp):
+    """offset [B, D, H, W, 3K] -> pos [B, nWB, Hp//HGRP, 3, TAP_PAD, 128]
+    with lanes in the OUTPUT voxel order (hs, dout, wo) — the v6 kernel's
+    per-tap layout. Same arithmetic/clamps as _prep_positions."""
+    b, do, ho, wo, _ = offset.shape
+    kz, ky, kx = np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij")
+    kd = jnp.asarray(kz.ravel(), jnp.float32) - 1.0
+    kh = jnp.asarray(ky.ravel(), jnp.float32) - 1.0
+    kw = jnp.asarray(kx.ravel(), jnp.float32) - 1.0
+
+    off = offset.reshape(b, do, ho, wo, KTAPS, 3).astype(jnp.float32)
+    douts = jnp.arange(do, dtype=jnp.float32)
+
+    pd = (douts[:, None] + kd[None, :])[None, :, None, None, :] + off[..., 0]
+    ph = jnp.clip(kh[None, None, None, None, :] + off[..., 1], -AP, AP + 1 - EPS)
+    pw = jnp.clip(kw[None, None, None, None, :] + off[..., 2], -AP, AP + 1 - EPS)
+
+    pos = jnp.stack([pd, ph, pw], axis=-1)  # [B, Do, Ho, Wo, K, 3]
+    nwb = -(-wo // WBLK)
+    pos = jnp.pad(
+        pos,
+        ((0, 0), (0, D_PAD - do), (0, hp - ho), (0, nwb * WBLK - wo),
+         (0, TAP_PAD - KTAPS), (0, 0)),
+    )
+    pos = pos.reshape(b, D_PAD, hp // HGRP, HGRP, nwb, WBLK, TAP_PAD, 3)
+    # -> [B, nWB, Hp/HGRP, 3, TAP_PAD, (hs, dout, wo)]
+    pos = pos.transpose(0, 4, 2, 7, 6, 3, 1, 5)
+    return pos.reshape(b, nwb, hp // HGRP, 3, TAP_PAD, HGRP * D_PAD * WBLK)
+
+
 def _prep_slab(x, cpad, dtype, hb):
     """x [B, D<=4, H, W, C] -> slab [B, nWB, nHB, hb+7, WWIN, D_PAD*cpad].
 
@@ -281,10 +392,28 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
     xw = _prep_slab(x, cpad, cdt, hb)
     nwb, nhb = xw.shape[1], xw.shape[2]
     hp = nhb * hb
-    pos = _prep_positions(offset, d, hp)
     grid = (b, nwb, nhb)
 
-    kernel = functools.partial(_kernel, hb, cpad, cout, cdt)
+    # trace-time kernel-version knob (on-chip A/B; v6 = per-tap dots in the
+    # output voxel order, killing the v5 scratch-rearrangement floor)
+    kv = os.environ.get("DPFACE_DEFORM_KV", "v5")
+    if kv == "v6":
+        pos = _prep_positions_v6(offset, d, hp)
+        kernel = functools.partial(_kernel_v6, hb, cpad, cout, cdt)
+        pos_spec = pl.BlockSpec(
+            (1, 1, hb // HGRP, 3, TAP_PAD, HGRP * D_PAD * WBLK),
+            lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        assert kv == "v5", kv
+        pos = _prep_positions(offset, d, hp)
+        kernel = functools.partial(_kernel, hb, cpad, cout, cdt)
+        pos_spec = pl.BlockSpec(
+            (1, 1, hb, 3, NPL),
+            lambda bi, wi, hi: (bi, wi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -294,11 +423,7 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
                 lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, hb, 3, NPL),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pos_spec,
             pl.BlockSpec(
                 (TAP_PAD, cpad, cout),
                 lambda bi, wi, hi: (0, 0, 0),

@@ -233,8 +233,9 @@ class S2DConv(nn.Module):
 
 
 class S2DBatchNorm(nn.Module):
-    """BatchNorm over the FINE channels of a packed [.., 4C] tensor, without
-    ever leaving the packed layout.
+    """BatchNorm over the FINE channels of a packed [.., G*C] tensor, without
+    ever leaving the packed layout (`groups` = G, default 4: the four spatial
+    parities / packed D-planes; the mode-packed ASM attention uses G=3).
 
     Reshaping to a [..., 4, C] view and calling nn.BatchNorm is numerically
     identical but collapses the lane dim 4C -> C, forcing a physical
@@ -253,10 +254,12 @@ class S2DBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = None
+    groups: int = 4
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1] // 4
+        g = self.groups
+        c = x.shape[-1] // g
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         ra_mean = self.variable(
@@ -272,10 +275,10 @@ class S2DBatchNorm(nn.Module):
             # all-but-last axes: the packed tensor may be 4-D (spatial s2d)
             # or 5-D (depth-packed aggregation volumes, [B, G, H, W, 4C])
             red = tuple(range(x.ndim - 1))
-            m4 = jnp.mean(xf, axis=red)                  # [4C]
+            m4 = jnp.mean(xf, axis=red)                  # [G*C]
             e4 = jnp.mean(jnp.square(xf), axis=red)
-            mean = jnp.mean(m4.reshape(4, c), axis=0)    # fine-channel stats
-            var = jnp.mean(e4.reshape(4, c), axis=0) - jnp.square(mean)
+            mean = jnp.mean(m4.reshape(g, c), axis=0)    # fine-channel stats
+            var = jnp.mean(e4.reshape(g, c), axis=0) - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -288,4 +291,4 @@ class S2DBatchNorm(nn.Module):
         )
         mul = (scale * jax.lax.rsqrt(var + self.epsilon)).astype(dt)
         add = (bias - mean * scale * jax.lax.rsqrt(var + self.epsilon)).astype(dt)
-        return x.astype(dt) * jnp.tile(mul, 4) + jnp.tile(add, 4)
+        return x.astype(dt) * jnp.tile(mul, g) + jnp.tile(add, g)

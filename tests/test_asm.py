@@ -281,3 +281,70 @@ def test_head_s2d_odd_dims_falls_back():
     var = mod.init(rng, xs, train=False)
     out = mod.apply(var, xs, train=False)
     assert out.shape == (1, 2, 7, 9, 8)
+
+
+def test_mpack_attention_matches_stacked_exactly():
+    """Mode-PACKED lanes ([B,D,H,W,M*C], block-diagonal head convs) are the
+    SAME exact math as the stacked [B,D,M,..] path: identical param tree,
+    outputs and train-mode batch statistics equal to float rounding."""
+    rng = jax.random.PRNGKey(0)
+    b, d, m, h, w, c = 2, 4, 3, 8, 8, 16
+    xs = jnp.asarray(
+        np.random.default_rng(17).standard_normal((b, d, m, h, w, c)), jnp.float32
+    )
+    # mode-major lane pack of the same planes
+    xp = jnp.concatenate([xs[:, :, j] for j in range(m)], axis=-1)
+
+    mod = asm.MaskingAttention(features=c, act="sigmoid")
+    var_s = mod.init(rng, xs, train=False)
+    var_p = mod.init(rng, xp, train=False, mpack=m)
+    assert jax.tree_util.tree_structure(var_s) == jax.tree_util.tree_structure(var_p)
+    for a, bb in zip(jax.tree_util.tree_leaves(var_s), jax.tree_util.tree_leaves(var_p)):
+        assert a.shape == bb.shape
+
+    out_s = mod.apply(var_s, xs, train=False)
+    out_p = mod.apply(var_s, xp, train=False, mpack=m)  # same params
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+
+    out_s, mut_s = mod.apply(var_s, xs, train=True, mutable=["batch_stats"])
+    out_p, mut_p = mod.apply(var_s, xp, train=True, mpack=m, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(mut_s), jax.tree_util.tree_leaves(mut_p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-6)
+
+
+def test_mpack_attention_layout_full_cost_volume():
+    """ASMCostVolume with attention_layout='mpack' equals the stacked default
+    on the same params (eval AND train-mode batch statistics)."""
+    from dualpixelface_tpu.config import Configuration
+    from dualpixelface_tpu.models.stereodpnet.modules import ASMCostVolume
+
+    def build(layout):
+        cfg = Configuration("train_synthetic_stereodpnet", make_workspace=False)
+        cfg.data["model"]["attention_layout"] = layout
+        opt = cfg.get_config()
+        return ASMCostVolume(option=opt, mindisp=opt.model.mindisp, maxdisp=opt.model.maxdisp)
+
+    rng = np.random.default_rng(5)
+    ref = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+    tar = jnp.asarray(rng.standard_normal((1, 16, 16, 32)), jnp.float32)
+
+    mod_s = build("stacked")
+    mod_p = build("mpack")
+    var = mod_s.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    var_p = mod_p.init(jax.random.PRNGKey(1), ref, tar, train=False)
+    assert jax.tree_util.tree_structure(var) == jax.tree_util.tree_structure(var_p)
+
+    out_s = mod_s.apply(var, ref, tar, train=False)
+    out_p = mod_p.apply(var, ref, tar, train=False)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+
+    out_s, mut_s = mod_s.apply(var, ref, tar, train=True, mutable=["batch_stats"])
+    out_p, mut_p = mod_p.apply(var, ref, tar, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s), rtol=2e-5, atol=2e-6)
+    for a, bb in zip(
+        jax.tree_util.tree_leaves(mut_s), jax.tree_util.tree_leaves(mut_p)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-6)
