@@ -93,6 +93,7 @@ _VARIANT_VARS = (
     ("DPFACE_PRELU", "where"),
     ("DPFACE_TOWER_S2D", ""),
     ("DPFACE_ATTN_LAYOUT", ""),
+    ("DPFACE_EXACT_ATTN", ""),
     ("DPFACE_ASM_REMAT_SAVE", ""),
     ("DPFACE_ASM_HEAD_S2D", ""),
 )

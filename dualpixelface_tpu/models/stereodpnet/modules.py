@@ -27,6 +27,19 @@ from dualpixelface_tpu.ops.cost_volume import costrange as make_costrange
 from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
 
 
+def _exact_attn_layout(opt):
+    """Exact-attention layout: config `attention_layout`, overridable at
+    trace time by DPFACE_EXACT_ATTN (on-chip A/B knob, bench battery)."""
+    layout = os.environ.get(
+        "DPFACE_EXACT_ATTN", opt.get("attention_layout", "stacked")
+    )
+    if layout not in ("stacked", "flat", "mpack"):
+        raise ValueError(
+            f"attention_layout {layout!r} not in ('stacked', 'flat', 'mpack')"
+        )
+    return layout
+
+
 class DPBlock(nn.Module):
     """(ref modules.py:21-52)
 
@@ -221,7 +234,10 @@ class ASMCostVolume(nn.Module):
             vol_tar = attention(
                 tar_feat, train, shift_fn=sf("backward"), mode_list=mode_list
             )
-        elif opt.get("attention_layout", "stacked") == "mpack":
+        # exact-path layout selector; DPFACE_EXACT_ATTN overrides at TRACE
+        # time (same contract as the other DPFACE_* knobs: captured at first
+        # jit, later env changes have no effect)
+        elif _exact_attn_layout(opt) == "mpack":
             # exact math with the M shift modes PACKED on the lane dim:
             # block-diagonal head convs at M*C lanes, mode-axis ops as
             # lane-group expressions (ops/asm.py mpack branch) — removes the
@@ -232,7 +248,7 @@ class ASMCostVolume(nn.Module):
             bwd = subpixel_shift_planes(tar_feat, disps, "backward", layout="mpack", **modes)
             vol_ref = attention(fwd, train, mpack=m)  # [B, D, H, W, C]
             vol_tar = attention(bwd, train, mpack=m)
-        elif opt.get("attention_layout", "stacked") == "flat":
+        elif _exact_attn_layout(opt) == "flat":
             # exact math in the mode-MAJOR layout: every mode-axis op works
             # on major dims, avoiding the [B,D,M,..] fold relayout copies
             # (tools/aot_analyze.py; equivalence tested in test_asm.py)

@@ -278,6 +278,84 @@ def _kernel_v6(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
         ).astype(cdt)
 
 
+TGRP = 7   # v7: taps per union dot (TAP_PAD = 4 groups of 7)
+
+
+def _kernel_v7(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
+    """v7 (round 5): TGRP-tap union dots with lanes (tap_member, hs, dout, wo).
+
+    xw_ref:  [1, 1, 1, hb+7, WWIN, D_PAD*cpad]       w-windowed slab (cdt)
+    pos_ref: [1, 1, hb//HGRP, 3, TAP_PAD//TGRP, TGRP*128]  f32
+    w_ref:   [TAP_PAD, cpad, cout]
+    out_ref: [1, 1, hb//HGRP, 128, cout]
+    sb_ref:  [TAP_PAD, cpad, 128] scratch (cdt)
+
+    The middle ground between v5 and v6: like v6, hats are laid out in the
+    OUTPUT voxel order over the 4-row candidate union (crow x WWIN = 176
+    rows, +37.5% sampling MACs vs v5's per-row window), so each tap's
+    [cpad, 128] result block lands scratch-ready; unlike v6 (27 narrow
+    N=128 dots per group — latency-bound, lost 20.75 vs 14.06), each dot
+    carries TGRP=7 taps on 896 lanes — v5's dot width at 1/4 the count.
+    Scratch rearrangement: 28 full-width aligned [cpad, 128] copies per
+    group vs v5's 112 masked quarter-width lane-group moves (measured at
+    ~6 of v5's ~14 ms/conv: DPFACE_DEFORM_PROBE=noscratch, 8.07 ms).
+    """
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    ng = TAP_PAD // TGRP
+    nl = TGRP * HGRP * D_PAD * WBLK  # 896 lanes: (tap_member, hs, dout, wo)
+    crow = HGRP + DH_ROWS - 1        # 11 candidate rows per group union
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nl), 1)
+    hs_l = ((lane % 128) // (D_PAD * WBLK)).astype(jnp.float32)
+    wo_l = (lane % WBLK).astype(jnp.float32)
+    i_d = fiota((D_PAD, 1, nl), 0)
+    i_r = fiota((1, crow, 1, nl), 1)
+    i_w = fiota((1, 1, WWIN, nl), 2)
+
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    for hg in range(hb // HGRP):
+        tsrc4 = xw_ref[0, 0, 0, hg * HGRP : hg * HGRP + crow].reshape(
+            crow * WWIN, xw_ref.shape[-1]
+        )
+        for g in range(ng):
+            pd = pos_ref[0, 0, hg, 0, g][None, :]                 # [1, nl]
+            ph = pos_ref[0, 0, hg, 1, g][None, :] + AP + hs_l
+            pw = pos_ref[0, 0, hg, 2, g][None, :] + (AP + 1) + wo_l
+
+            ah = _hat(i_r, ph).astype(cdt)   # [1, crow, 1, nl]
+            aw = _hat(i_w, pw).astype(cdt)   # [1, 1, WWIN, nl]
+            s2 = (ah * aw).reshape(crow * WWIN, nl)
+
+            cols4 = jax.lax.dot_general(
+                tsrc4, s2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(D_PAD, cpad, nl)
+            ad = _hat(i_d, pd)               # [D_PAD, 1, nl] f32
+            cb = jnp.sum(cols4 * ad, axis=0).astype(cdt)  # [cpad, nl]
+            for t in range(TGRP):
+                sb_ref[g * TGRP + t, :, :] = cb[:, t * 128 : (t + 1) * 128]
+
+        out_ref[0, 0, hg] = jax.lax.dot_general(
+            sb_ref[:, :, :].reshape(TAP_PAD * cpad, 128),
+            w_ref[:, :, :].reshape(TAP_PAD * cpad, cout),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).astype(cdt)
+
+
+def _prep_positions_v7(offset, d, hp):
+    """v6's output-voxel-order positions regrouped for TGRP-tap dots:
+    [B, nWB, Hp//HGRP, 3, TAP_PAD//TGRP, TGRP*128], lane = tap_member*128
+    + hs*32 + dout*8 + wo."""
+    pos = _prep_positions_v6(offset, d, hp)
+    b, nwb, nhg = pos.shape[:3]
+    return pos.reshape(b, nwb, nhg, 3, TAP_PAD // TGRP, TGRP * 128)
+
+
 def _prep_positions_v6(offset, d, hp):
     """offset [B, D, H, W, 3K] -> pos [B, nWB, Hp//HGRP, 3, TAP_PAD, 128]
     with lanes in the OUTPUT voxel order (hs, dout, wo) — the v6 kernel's
@@ -397,7 +475,15 @@ def _fused_call(x, offset, wmat, hb, interpret=False):
     # trace-time kernel-version knob (on-chip A/B; v6 = per-tap dots in the
     # output voxel order, killing the v5 scratch-rearrangement floor)
     kv = os.environ.get("DPFACE_DEFORM_KV", "v5")
-    if kv == "v6":
+    if kv == "v7":
+        pos = _prep_positions_v7(offset, d, hp)
+        kernel = functools.partial(_kernel_v7, hb, cpad, cout, cdt)
+        pos_spec = pl.BlockSpec(
+            (1, 1, hb // HGRP, 3, TAP_PAD // TGRP, TGRP * 128),
+            lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    elif kv == "v6":
         pos = _prep_positions_v6(offset, d, hp)
         kernel = functools.partial(_kernel_v6, hb, cpad, cout, cdt)
         pos_spec = pl.BlockSpec(

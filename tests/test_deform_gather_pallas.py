@@ -174,3 +174,21 @@ def test_fused_backward_smoke_fast():
     g_direct = vjp(cot)
     for a, b in zip(g_fused[:3], g_direct):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4)
+
+
+def test_kernel_v7_matches_twin(monkeypatch):
+    """v7 (TGRP-tap union dots, round 5) is the same windowed math as the
+    v5 default — oracle-checked against the XLA twin, aggressive offsets."""
+    monkeypatch.setenv("DPFACE_DEFORM_KV", "v7")
+    jax.clear_caches()
+    try:
+        x = _rand((1, 4, 8, 16, 5), seed=50)
+        off = _rand((1, 4, 8, 16, 81), 3.0, seed=51)
+        wt = _rand((3, 3, 3, 5, 6), 0.1, seed=52)
+        ref = _windowed_xla(x, off, wt, None)
+        got = deform_conv3d_fused(x, off, wt, None, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+    finally:
+        jax.clear_caches()  # drop the v7-traced _fused_call entries

@@ -56,7 +56,10 @@ def main():
     float(out)
     ms = (time.perf_counter() - t0) / iters / reps * 1e3
     variant = os.environ.get("DPFACE_DEFORM_TSRC", "slice")
-    print(f"tsrc={variant}: {ms:7.2f} ms/conv  (shape {b}x{d}x{h}x{w} {cin}->{cout} bf16)")
+    kv = os.environ.get("DPFACE_DEFORM_KV", "v5")
+    probe = os.environ.get("DPFACE_DEFORM_PROBE", "")
+    tag = f"kv={kv} tsrc={variant}" + (f" probe={probe}" if probe else "")
+    print(f"{tag}: {ms:7.2f} ms/conv  (shape {b}x{d}x{h}x{w} {cin}->{cout} bf16)")
 
 
 if __name__ == "__main__":
