@@ -718,6 +718,117 @@ def _bwd_kernel(hb, cpad, cout, cdt,
     gslab_ref[0, 0, 0] = gsl_ref[:, :, :].astype(cdt)
 
 
+def _bwd_kernel_v7(hb, cpad, cout, cdt,
+                   xw_ref, pos_ref, w_ref, g_ref,
+                   gslab_ref, gpos_ref, gw_ref, sb_ref, gsl_ref):
+    """v7 backward: the forward's TGRP-tap union-dot structure run in
+    reverse. Per (group, tap-group) instead of per (row, tap): the gsb
+    reads and sb writes are full-width aligned [cpad, 128] moves (28+28
+    per 4-row group vs v5's 112+112 masked quarter-width), and the gslab
+    accumulation is ONE 11-row slice-add per tap-group (vs 8 row-adds per
+    row). Sampling-side dots pay the same +37.5% union MACs as the v7
+    forward. Layouts: pos/gpos in _prep_positions_v7's
+    [.., 3, NG, TGRP*128] output-voxel order."""
+
+    def fiota(shape, dim):
+        return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
+
+    ng = TAP_PAD // TGRP
+    nl = TGRP * HGRP * D_PAD * WBLK
+    crow = HGRP + DH_ROWS - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, nl), 1)
+    hs_l = ((lane % 128) // (D_PAD * WBLK)).astype(jnp.float32)
+    wo_l = (lane % WBLK).astype(jnp.float32)
+    i_d = fiota((D_PAD, 1, nl), 0)
+    i_r = fiota((1, crow, 1, nl), 1)
+    i_w = fiota((1, 1, WWIN, nl), 2)
+
+    prec = (
+        jax.lax.Precision.HIGHEST if cdt == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
+
+    step = (
+        pl.program_id(0) * pl.num_programs(1) * pl.num_programs(2)
+        + pl.program_id(1) * pl.num_programs(2)
+        + pl.program_id(2)
+    )
+
+    @pl.when(step == 0)
+    def _init_gw():
+        gw_ref[:, :, :] = jnp.zeros(gw_ref.shape, gw_ref.dtype)
+
+    gsl_ref[:, :, :] = jnp.zeros(gsl_ref.shape, gsl_ref.dtype)
+    w_flat = w_ref[:, :, :].reshape(TAP_PAD * cpad, cout)
+    gw_acc = jnp.zeros((TAP_PAD * cpad, cout), jnp.float32)
+    m = xw_ref.shape[-1]  # D_PAD * cpad
+
+    for hg in range(hb // HGRP):
+        g_hg = g_ref[0, 0, 0, hg]  # [128, cout] cdt
+        gsb = jax.lax.dot_general(
+            w_flat, g_hg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ).reshape(TAP_PAD, cpad, 128).astype(cdt)
+
+        tsrc4 = xw_ref[0, 0, 0, hg * HGRP : hg * HGRP + crow].reshape(
+            crow * WWIN, m
+        )
+
+        for gi in range(ng):
+            pd = pos_ref[0, 0, hg, 0, gi][None, :]
+            ph = pos_ref[0, 0, hg, 1, gi][None, :] + AP + hs_l
+            pw = pos_ref[0, 0, hg, 2, gi][None, :] + (AP + 1) + wo_l
+
+            ad_f = _hat(i_d, pd)                 # [D_PAD, 1, nl] f32
+            ah_f = _hat(i_r, ph)                 # [1, crow, 1, nl]
+            aw_f = _hat(i_w, pw)                 # [1, 1, WWIN, nl]
+            s2 = (ah_f.astype(cdt) * aw_f.astype(cdt)).reshape(crow * WWIN, nl)
+
+            cols4 = jax.lax.dot_general(
+                tsrc4, s2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(D_PAD, cpad, nl)
+            cols = jnp.sum(cols4 * ad_f, axis=0).astype(cdt)
+            for t in range(TGRP):
+                sb_ref[gi * TGRP + t, :, :] = cols[:, t * 128 : (t + 1) * 128]
+
+            gcb = jnp.concatenate(
+                [gsb[gi * TGRP + t] for t in range(TGRP)], axis=1
+            )  # [cpad, nl] cdt — aligned full-width reads
+
+            adg = (ad_f.astype(cdt) * gcb[None]).reshape(D_PAD * cpad, nl)
+
+            gt = jax.lax.dot_general(
+                s2, adg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(crow, WWIN, m)  # f32
+            rows = slice(hg * HGRP, hg * HGRP + crow)
+            gsl_ref[rows] = gsl_ref[rows] + gt
+
+            g_ad = jnp.sum(cols4 * gcb[None].astype(jnp.float32), axis=1)
+            t_hw = jax.lax.dot_general(
+                tsrc4, adg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            ).reshape(1, crow, WWIN, nl)
+            g_ah = jnp.sum(t_hw * aw_f, axis=(0, 2))    # [crow, nl]
+            g_aw = jnp.sum(t_hw * ah_f, axis=(0, 1))    # [WWIN, nl]
+
+            g_pd = jnp.sum(g_ad * _hat_grad(i_d[:, 0], pd), axis=0)
+            g_ph = jnp.sum(g_ah * _hat_grad(i_r[0, :, 0], ph), axis=0)
+            g_pw = jnp.sum(g_aw * _hat_grad(i_w[0, 0, :], pw), axis=0)
+            gpos_ref[0, 0, hg, 0, gi, :] = g_pd
+            gpos_ref[0, 0, hg, 1, gi, :] = g_ph
+            gpos_ref[0, 0, hg, 2, gi, :] = g_pw
+
+        gw_acc = gw_acc + jax.lax.dot_general(
+            sb_ref[:, :, :].reshape(TAP_PAD * cpad, 128), g_hg,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+
+    gw_ref[:, :, :] = gw_ref[:, :, :] + gw_acc.reshape(TAP_PAD, cpad, cout)
+    gslab_ref[0, 0, 0] = gsl_ref[:, :, :].astype(cdt)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "hb"))
 def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
     b, d, h, w, c = x.shape
@@ -729,7 +840,17 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
     xw, slab_vjp = jax.vjp(slab_fn, x)
     nwb, nhb = xw.shape[1], xw.shape[2]
     hp = nhb * hb
-    pos_fn = lambda o_: _prep_positions(o_, d, hp)
+    # v7 = TGRP-tap union-dot kernel (forward docstring); the prep vjp
+    # chain follows the kernel version so gpos layouts stay consistent
+    kv = os.environ.get("DPFACE_DEFORM_KV", "v5")
+    if kv == "v7":
+        pos_fn = lambda o_: _prep_positions_v7(offset=o_, d=d, hp=hp)
+        pos_block_tail = (hb // HGRP, 3, TAP_PAD // TGRP, TGRP * 128)
+        bwd = _bwd_kernel_v7
+    else:
+        pos_fn = lambda o_: _prep_positions(o_, d, hp)
+        pos_block_tail = (hb, 3, NPL)
+        bwd = _bwd_kernel
     pos, pos_vjp = jax.vjp(pos_fn, offset)
 
     # cotangent into the kernel's output layout (inverse of the forward's
@@ -742,7 +863,19 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
     gp = gp.transpose(0, 4, 2, 3, 1, 5, 6).reshape(b, nwb, hp // HGRP, 128, cout)
     gp = gp.reshape(b, nwb, nhb, hb // HGRP, 128, cout)
 
-    kernel = functools.partial(_bwd_kernel, hb, cpad, cout, cdt)
+    if kv == "v7":
+        pos_spec = pl.BlockSpec(
+            (1, 1) + pos_block_tail,
+            lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        pos_spec = pl.BlockSpec(
+            (1, 1) + pos_block_tail,
+            lambda bi, wi, hi: (bi, wi, hi, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    kernel = functools.partial(bwd, hb, cpad, cout, cdt)
     gslab, gpos, gw = pl.pallas_call(
         kernel,
         grid=(b, nwb, nhb),
@@ -752,11 +885,7 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
                 lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, hb, 3, NPL),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pos_spec,
             pl.BlockSpec(
                 (TAP_PAD, cpad, cout),
                 lambda bi, wi, hi: (0, 0, 0),
@@ -774,11 +903,7 @@ def _fused_bwd_call(x, offset, wmat, g, hb, interpret=False):
                 lambda bi, wi, hi: (bi, wi, hi, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, hb, 3, NPL),
-                lambda bi, wi, hi: (bi, wi, hi, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pos_spec,
             pl.BlockSpec(
                 (TAP_PAD, cpad, cout),
                 lambda bi, wi, hi: (0, 0, 0),

@@ -192,3 +192,30 @@ def test_kernel_v7_matches_twin(monkeypatch):
         )
     finally:
         jax.clear_caches()  # drop the v7-traced _fused_call entries
+
+
+def test_kernel_v7_backward_matches_direct_vjp(monkeypatch):
+    """v7 backward (TGRP-tap union structure in reverse) vs the twin's
+    direct vjp — all three gradient outputs."""
+    from dualpixelface_tpu.ops import deform_conv3d as dc3d
+    from dualpixelface_tpu.ops.kernels import deform_fused as df
+
+    monkeypatch.setenv("DPFACE_DEFORM_KV", "v7")
+    jax.clear_caches()
+    try:
+        x = _rand((1, 4, 8, 16, 5), seed=60)
+        off = _rand((1, 4, 8, 16, 81), 1.5, seed=61)
+        wt = _rand((3, 3, 3, 5, 4), 0.2, seed=62)
+        cot = _rand((1, 4, 8, 16, 4), seed=63)
+
+        g_fused = df.deform_conv3d_fused_bwd(x, off, wt, None, cot, interpret=True)
+        _, vjp = jax.vjp(
+            lambda x_, o_, w_: dc3d._windowed_xla(x_, o_, w_, None), x, off, wt
+        )
+        g_direct = vjp(cot)
+        for a, b in zip(g_fused[:3], g_direct):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4
+            )
+    finally:
+        jax.clear_caches()
