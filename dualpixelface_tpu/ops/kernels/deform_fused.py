@@ -299,6 +299,18 @@ def _kernel_v7(hb, cpad, cout, cdt, xw_ref, pos_ref, w_ref, out_ref, sb_ref):
     Scratch rearrangement: 28 full-width aligned [cpad, 128] copies per
     group vs v5's 112 masked quarter-width lane-group moves (measured at
     ~6 of v5's ~14 ms/conv: DPFACE_DEFORM_PROBE=noscratch, 8.07 ms).
+
+    ON-CHIP RESULT (round 5, same-session A/B vs v5's 14.14): v7 LOSES —
+    21.09 ms/conv at the ANM 768x576 shape, within noise of v6's 20.75.
+    Conclusion across v6+v7: output-voxel-order hats over the 11-row
+    candidate union are the real cost, not the dot count — the hat
+    evaluation (VPU elementwise over crow x WWIN x 896 lanes per tap
+    group, 7x wider than v5's per-row window) plus the +37.5% union MACs
+    eat the ~6 ms of moves they delete. Reaching the 8.07 ms noscratch
+    floor needs a formulation that keeps v5's narrow per-row hat windows
+    AND lands results scratch-aligned; none found in rounds 4-5. v5 stays
+    the default; v6/v7 kept behind DPFACE_DEFORM_KV as documented negative
+    results (both remain EXACT — pinned by test_deform_fused.py).
     """
     def fiota(shape, dim):
         return jax.lax.broadcasted_iota(jnp.int32, shape, dim).astype(jnp.float32)
