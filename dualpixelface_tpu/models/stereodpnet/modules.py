@@ -29,9 +29,16 @@ from dualpixelface_tpu.ops.resize import resize_nearest, upsample2d_bilinear
 
 def _exact_attn_layout(opt):
     """Exact-attention layout: config `attention_layout`, overridable at
-    trace time by DPFACE_EXACT_ATTN (on-chip A/B knob, bench battery)."""
+    trace time by DPFACE_EXACT_ATTN (on-chip A/B knob, bench battery).
+
+    DEFAULT 'mpack' (round 5): exact math with the M shift modes packed on
+    the lane dim — block-diagonal head convs at M*C lanes keep the mode
+    axis out of the conv batch, deleting the batch-minor relayout copies
+    XLA inserts around the batch-folded 'stacked' layout. Same-session
+    train A/B at b2 768x576: stacked 9.844 / mpack 10.23 pairs/s (+3.9%).
+    Equivalence (outputs + train-mode BN stats) pinned by test_asm.py."""
     layout = os.environ.get(
-        "DPFACE_EXACT_ATTN", opt.get("attention_layout", "stacked")
+        "DPFACE_EXACT_ATTN", opt.get("attention_layout", "mpack")
     )
     if layout not in ("stacked", "flat", "mpack"):
         raise ValueError(
