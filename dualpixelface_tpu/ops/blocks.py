@@ -319,6 +319,8 @@ class _DPackConv3D(nn.Module):
 
     @nn.compact
     def __call__(self, q):
+        import os
+
         b, g, h, w, c4 = q.shape
         c = c4 // 4
         co = self.features
@@ -332,9 +334,34 @@ class _DPackConv3D(nn.Module):
         nxt = jnp.pad(
             q[..., :c], ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0))
         )[:, 1:]
-        xs = jnp.concatenate([prev, q, nxt], axis=-1)
-        xs = xs.reshape(b * g, h, w, 6 * c).astype(dt)
-        wk = jnp.zeros((3, 3, 6 * c, 4 * co), kernel.dtype)
+        # halo layout knob (trace-time; on-chip A/B, docs/PERFORMANCE.md
+        # round 5): the profiler shows a ~0.4-0.6 ms input-relayout copy in
+        # front of every full-scale packed conv — the 6C (=192-lane at C=32)
+        # concat lands in a layout the conv relays into T(2,128).
+        #   '6c4d' : DEFAULT — concat the 4-D [B*G, H, W, *] views (4-D
+        #            operand layout assignment; on-chip 45.84 vs 45.17)
+        #   '6c'   : 5-D concat + reshape (round-4 baseline)
+        #   '8c'   : pad the halo window to 8C lanes (whole (8,128) lane
+        #            tiles at C=32) — LOSES on chip (44.35), kept for A/B
+        halo = os.environ.get("DPFACE_DPACK_HALO", "6c4d")
+        if halo == "6c4d":
+            xs = jnp.concatenate(
+                [
+                    prev.reshape(b * g, h, w, c),
+                    q.reshape(b * g, h, w, 4 * c),
+                    nxt.reshape(b * g, h, w, c),
+                ],
+                axis=-1,
+            ).astype(dt)
+        elif halo == "8c":
+            zt = jnp.zeros(q.shape[:4] + (2 * c,), q.dtype)
+            xs = jnp.concatenate([prev, q, nxt, zt], axis=-1)
+            xs = xs.reshape(b * g, h, w, 8 * c).astype(dt)
+        else:
+            xs = jnp.concatenate([prev, q, nxt], axis=-1)
+            xs = xs.reshape(b * g, h, w, 6 * c).astype(dt)
+        cw = xs.shape[-1]
+        wk = jnp.zeros((3, 3, cw, 4 * co), kernel.dtype)
         for j in range(4):
             for kd in range(3):
                 wk = wk.at[

@@ -436,6 +436,41 @@ def _prep_slab(x, cpad, dtype, hb):
     return xw.transpose(0, 3, 1, 2, 4, 5)
 
 
+def _prep_positions_late(offset, d, hp):
+    """Bit-identical output to `_prep_positions`, but the tap/dout base
+    arithmetic and the aperture clamp run AFTER the (D, W, tap) -> lane
+    shuffle, in the kernel's target layout. The stacked variant materializes
+    ~3 x 0.6 ms of f32 copies per ANM conv at 768x576 (a layout flip of the
+    arithmetic'd stack, the staged shuffle, and a tiling copy — profiler,
+    docs/PERFORMANCE.md round 5); shuffling the RAW offsets first lets XLA
+    fuse the elementwise base-add + clip into the shuffle's last stage.
+    Base integers (douts + kd) are exact in f32, so values match the
+    stacked order bit-for-bit and the oracle/vjp tests cover both."""
+    b, do, ho, wo, _ = offset.shape
+    nwb = -(-wo // WBLK)
+    off = offset.reshape(b, do, ho, wo, KTAPS, 3).astype(jnp.float32)
+    off = jnp.pad(
+        off,
+        ((0, 0), (0, D_PAD - do), (0, hp - ho), (0, nwb * WBLK - wo),
+         (0, TAP_PAD - KTAPS), (0, 0)),
+    )
+    off = off.reshape(b, D_PAD, hp, nwb, WBLK, TAP_PAD, 3)
+    off = off.transpose(0, 3, 2, 6, 5, 1, 4)  # [B,nWB,Hp,3,TAP,D_PAD,WBLK]
+
+    kz, ky, kx = np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij")
+    base = np.zeros((3, TAP_PAD, D_PAD, 1), np.float32)
+    base[0, :KTAPS] = (kz.ravel() - 1.0)[:, None, None] + np.arange(
+        D_PAD, dtype=np.float32
+    )[None, :, None]
+    base[1, :KTAPS] = (ky.ravel() - 1.0)[:, None, None]
+    base[2, :KTAPS] = (kx.ravel() - 1.0)[:, None, None]
+    big = np.float32(3.0e38)  # pd is unclamped; ph/pw clamp to the aperture
+    lo = np.array([-big, -AP, -AP], np.float32).reshape(3, 1, 1, 1)
+    hi = np.array([big, AP + 1 - EPS, AP + 1 - EPS], np.float32).reshape(3, 1, 1, 1)
+    pos = jnp.clip(off + jnp.asarray(base), jnp.asarray(lo), jnp.asarray(hi))
+    return pos.reshape(b, nwb, hp, 3, NPL)
+
+
 def _prep_positions(offset, d, hp):
     """offset [B, D, H, W, 3K] -> pos [B, nWB, Hp, 3, NPL].
 
@@ -443,7 +478,14 @@ def _prep_positions(offset, d, hp):
       pd     = d_out + kd - 1 + off_d           (absolute, unclamped)
       ph_rel = kh - 1 + off_h   clamped to [-AP, AP + 1 - EPS]
       pw_rel = kw - 1 + off_w   clamped likewise
+
+    DPFACE_DEFORM_POSPREP (trace-time): 'late' (DEFAULT) computes the same
+    tensor via `_prep_positions_late` (shuffle first, arithmetic after —
+    fewer copies; on-chip 46.84 vs 45.84 pairs/s full-model, round 5);
+    'stack' keeps this arithmetic-first order (the round-4 baseline).
     """
+    if os.environ.get("DPFACE_DEFORM_POSPREP", "late") == "late":
+        return _prep_positions_late(offset, d, hp)
     b, do, ho, wo, _ = offset.shape
     kz, ky, kx = np.meshgrid(np.arange(3), np.arange(3), np.arange(3), indexing="ij")
     kd = jnp.asarray(kz.ravel(), jnp.float32) - 1.0  # [27]
